@@ -1,0 +1,729 @@
+"""The crawl engine: a Ray-Data-native BFS/Best-First/DFS frontier loop.
+
+Restructuring of the reference's deep-crawl strategies
+(/root/reference/crawl4ai/deep_crawling/bfs_strategy.py:155-227 batch BFS,
+bff_strategy.py:139-269 best-first, dfs_strategy.py:27-111 DFS) into the
+epoch-loop architecture of SURVEY.md §3.4:
+
+    driver epoch loop:
+      frontier_e (checkpointed parquet)
+        → repartition → map_batches(FetchStage actor pool)   [politeness RPC + fetch]
+        → map_batches(extract_batch)                         [links/spans/metadata]
+        → write docs_e (+ lineage columns)                   [sink]
+      discovery: links → canonicalize → filter/score → seen anti-join
+        → next frontier (checkpointed)
+
+Two discovery modes:
+
+  * ``deterministic=True`` (parity): the link-fold runs on the driver over
+    the epoch's *candidate link keys only* (never the documents), replaying
+    the reference's sequential semantics exactly — per-source first-wins
+    visited insertion in (source frontier order, link position) order,
+    per-source capacity truncation sorted by score
+    (bfs_strategy.py:110-152).  This is the mode that reproduces the
+    reference's crawl ordering and URL-seen set bit-for-bit.
+
+  * ``deterministic=False`` (scale): discovery stays a Dataset pipeline end
+    to end — flatten links → canonicalize → filter/score → sharded
+    ``check_and_add`` inside map_batches (first caller wins).  No driver
+    fold, no global sort; ordering within an epoch is free, epoch
+    boundaries stay deterministic.  This is the 10^10-URL path.
+
+Checkpoint/resume: see state/checkpoint.py.  Every docs/metrics row carries
+``(frontier_epoch, shard_id, bloom_generation)`` lineage.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..hashing import h64
+from ..schema import SEEN_SCHEMA
+from ..stages.canonicalize import FilterScoreStage, canonicalize_batch
+from ..stages.extract import extract_batch, extract_page
+from ..stages.fetch import FetchStage
+from ..stages.politeness import PolitenessPool
+from ..stages.seen import SeenShardPool
+from ..state.checkpoint import CheckpointStore
+from ..urlnorm import (
+    host_of,
+    is_valid_frontier_url,
+    normalize_url_for_deep_crawl,
+)
+
+INF = math.inf
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 3
+    max_pages: float = INF
+    include_external: bool = False
+    score_threshold: float = -INF
+    strategy: str = "bfs"  # bfs | best_first | dfs
+    num_seen_shards: int = 4
+    num_politeness_shards: int = 2
+    fetch_concurrency: int = 4
+    fetch_batch_size: int = 128
+    extract_batch_size: int = 128
+    base_delay: tuple[float, float] = (0.0, 0.0)
+    max_delay: float = 60.0
+    max_retries: int = 3
+    seed: int = 42
+    deterministic: bool = True
+    exact_seen: bool = True
+    seen_capacity_per_shard: int = 1_000_000
+    seen_error_rate: float = 0.01
+    filter_factory: object = None  # () -> FilterChain
+    scorer_factory: object = None  # () -> URLScorer
+    best_first_batch: int = 10
+    max_epochs: int | None = None  # stop after N epochs (kill point for resume tests)
+    preseed_visited: bool = False  # scale mode: add seeds to seen (reference batch
+    #                                BFS does NOT — bfs_strategy.py:176 leaves the
+    #                                seed out of `visited`, so a link back to the
+    #                                seed re-crawls it; parity keeps that quirk)
+
+
+def _can_process(url: str, depth: int, filter_chain) -> bool:
+    """Validity gate + filter chain, depth-0 bypasses filters
+    (bfs_strategy.py:59-79)."""
+    if not is_valid_frontier_url(url):
+        return False
+    if depth != 0 and filter_chain is not None and not filter_chain.apply(url):
+        return False
+    return True
+
+
+def _frontier_table(rows: list[dict], epoch: int, num_shards: int) -> pa.Table:
+    """rows: dicts with url, depth, parent_url, score."""
+    urls = [r["url"] for r in rows]
+    hosts = [host_of(u) for u in urls]
+    host_hashes = [h64(h) for h in hosts]
+    return pa.table(
+        {
+            "frontier_rank": pa.array(range(len(rows)), type=pa.int64()),
+            "url": pa.array(urls, type=pa.string()),
+            "url_hash": pa.array([h64(u) for u in urls], type=pa.uint64()),
+            "host": pa.array(hosts, type=pa.string()),
+            "host_hash": pa.array(host_hashes, type=pa.uint64()),
+            "depth": pa.array([r["depth"] for r in rows], type=pa.int32()),
+            "parent_url": pa.array([r.get("parent_url") or "" for r in rows], type=pa.string()),
+            "score": pa.array([r.get("score", 0.0) for r in rows], type=pa.float32()),
+            "epoch": pa.array([epoch] * len(rows), type=pa.int32()),
+            "shard_id": pa.array(
+                [hh % num_shards for hh in host_hashes], type=pa.int32()
+            ),
+        }
+    )
+
+
+class _SeenCheckStage:
+    """Stateless map_batches fn capturing seen-shard handles: sharded
+    check_and_add (scale-mode anti-join; SURVEY.md §2.6)."""
+
+    def __init__(self, shards, num_shards: int):
+        self.shards = shards
+        self.num_shards = num_shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        buckets: dict[int, list[int]] = {}
+        for i, h in enumerate(hosts):
+            buckets.setdefault(h64(h) % self.num_shards, []).append(i)
+        refs = {
+            sid: self.shards[sid].check_and_add.remote([urls[i] for i in idx])
+            for sid, idx in buckets.items()
+        }
+        fresh = np.zeros(len(urls), dtype=bool)
+        for sid, idx in buckets.items():
+            fresh[idx] = ray.get(refs[sid])
+        return batch.filter(pa.array(fresh))
+
+
+def _flatten_links(batch: pa.Table, include_external: bool) -> pa.Table:
+    """Explode the links column of successful pages → candidate rows."""
+    src_urls = batch.column("url").to_pylist()
+    depths = batch.column("depth").to_pylist()
+    successes = batch.column("success").to_pylist()
+    ranks = batch.column("frontier_rank").to_pylist()
+    links_col = batch.column("links").to_pylist()
+    out = {"src_url": [], "src_depth": [], "src_rank": [], "href": [], "link_pos": []}
+    for src, depth, ok, rank, links in zip(src_urls, depths, successes, ranks, links_col):
+        if not ok or not links:
+            continue
+        for link in links:
+            if not link["internal"] and not include_external:
+                continue
+            out["src_url"].append(src)
+            out["src_depth"].append(depth)
+            out["src_rank"].append(rank)
+            out["href"].append(link["href"])
+            out["link_pos"].append(link["link_pos"])
+    return pa.table(
+        {
+            "src_url": pa.array(out["src_url"], type=pa.string()),
+            "src_depth": pa.array(out["src_depth"], type=pa.int32()),
+            "src_rank": pa.array(out["src_rank"], type=pa.int64()),
+            "href": pa.array(out["href"], type=pa.string()),
+            "link_pos": pa.array(out["link_pos"], type=pa.int32()),
+        }
+    )
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        transport,
+        config: CrawlConfig,
+        checkpoint_dir: str,
+        robots_bodies: dict[str, str] | None = None,
+    ):
+        self.transport = transport
+        self.config = config
+        self.store = CheckpointStore(checkpoint_dir)
+        self.robots_bodies = robots_bodies
+        self.seen = SeenShardPool(
+            config.num_seen_shards,
+            capacity_per_shard=config.seen_capacity_per_shard,
+            error_rate=config.seen_error_rate,
+            exact=config.exact_seen,
+        )
+        self.politeness = PolitenessPool(
+            config.num_politeness_shards,
+            robots_bodies=robots_bodies,
+            base_delay=config.base_delay,
+            max_delay=config.max_delay,
+            max_retries=config.max_retries,
+            seed=config.seed,
+        )
+        self.pages_crawled = 0
+        self.filter_chain = (
+            config.filter_factory() if config.filter_factory else None
+        )
+        self.scorer = config.scorer_factory() if config.scorer_factory else None
+
+    # ------------------------------------------------------------- setup
+    def _seed_frontier(self, seeds: list[str], epoch: int) -> pa.Table:
+        rows = []
+        for s in seeds:
+            canon = normalize_url_for_deep_crawl(s, s)
+            if canon and is_valid_frontier_url(canon):
+                rows.append({"url": canon, "depth": 0, "parent_url": None, "score": 0.0})
+        return _frontier_table(rows, epoch, self.config.num_seen_shards)
+
+    def _resume_state(self) -> tuple[int, pa.Table | None]:
+        manifest = self.store.read_manifest()
+        if manifest is None:
+            return (0, None)
+        last_done = manifest["epoch"]
+        self.pages_crawled = manifest["pages_crawled"]
+        seen_tbl = self.store.read_group("seen", upto_epoch=last_done)
+        if seen_tbl is not None and seen_tbl.num_rows:
+            urls = seen_tbl.column("url").to_pylist()
+            hosts = [host_of(u) for u in urls]
+            self.seen.load_partitioned(urls, hosts)
+        nxt = self.store.read_epoch_table("frontier", last_done + 1)
+        return (last_done + 1, nxt)
+
+    # ------------------------------------------------------------ epochs
+    def _run_epoch_pipeline(self, frontier: pa.Table, epoch: int):
+        """fetch → extract → write docs; returns the materialized extract
+        Dataset (html dropped) and per-epoch wall time."""
+        cfg = self.config
+        t0 = time.time()
+        n = frontier.num_rows
+        num_blocks = max(1, math.ceil(n / cfg.fetch_batch_size))
+        ds = ray.data.from_arrow(frontier)
+        if num_blocks > 1:
+            ds = ds.repartition(num_blocks)
+        ds = ds.map_batches(
+            FetchStage,
+            fn_constructor_kwargs={
+                "transport": self.transport,
+                "politeness_shards": self.politeness.shards,
+                "num_politeness_shards": cfg.num_politeness_shards,
+            },
+            batch_size=cfg.fetch_batch_size,
+            batch_format="pyarrow",
+            concurrency=(1, cfg.fetch_concurrency),
+            zero_copy_batch=True,
+        )
+        ds = ds.map_batches(
+            extract_batch,
+            batch_size=cfg.extract_batch_size,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        ext = ds.materialize()
+
+        gens = self.seen.generations()
+        bloom_gen = max(gens) if gens else 0
+
+        def _add_lineage(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            batch = batch.append_column(
+                "doc_id",
+                pa.array(
+                    [f"{h64(u):016x}" for u in batch.column("url").to_pylist()],
+                    type=pa.string(),
+                ),
+            )
+            batch = batch.append_column(
+                "frontier_epoch", pa.array([epoch] * n, type=pa.int32())
+            )
+            batch = batch.append_column(
+                "bloom_generation", pa.array([bloom_gen] * n, type=pa.int32())
+            )
+            return batch
+
+        docs_dir = self.store.docs_epoch_dir(epoch)
+        (
+            ext.drop_columns(["links"])
+            .map_batches(_add_lineage, batch_format="pyarrow", zero_copy_batch=True)
+            .write_parquet(docs_dir)
+        )
+        return ext, time.time() - t0
+
+    # ------------------------------------------------ parity-mode discovery
+    def _discover_deterministic(self, ext, epoch: int) -> list[dict]:
+        """Driver fold over candidate link keys, replaying the reference's
+        sequential link_discovery (bfs_strategy.py:81-152) in
+        (source frontier order, link position) order."""
+        cfg = self.config
+        cand = (
+            ext.select_columns(["frontier_rank", "url", "depth", "success", "links"])
+            .take_all()
+        )
+        cand.sort(key=lambda r: r["frontier_rank"])
+
+        # pre-normalize all candidate links + bulk prior-seen query
+        all_norms: list[str] = []
+        per_source: list[dict] = []
+        for row in cand:
+            links = [
+                l
+                for l in (row["links"] if row["links"] is not None else [])
+                if l["internal"] or cfg.include_external
+            ]
+            norms = [
+                normalize_url_for_deep_crawl(l["href"], row["url"]) for l in links
+            ]
+            per_source.append({**row, "links": links, "norms": norms})
+            all_norms.extend(n for n in norms if n)
+        uniq = list(dict.fromkeys(all_norms))
+        if uniq:
+            prior_mask = self.seen.contains(uniq, [host_of(u) for u in uniq])
+            prior = {u for u, m in zip(uniq, prior_mask) if m}
+        else:
+            prior = set()
+
+        next_frontier: list[dict] = []
+        newly_seen: list[str] = []
+        local_seen: set[str] = set()
+        for row in per_source:
+            if not row["success"]:
+                continue
+            self.pages_crawled += 1
+            next_depth = row["depth"] + 1
+            if next_depth > cfg.max_depth:
+                continue
+            remaining = cfg.max_pages - self.pages_crawled
+            if remaining <= 0:
+                continue
+            valid: list[tuple[str, float]] = []
+            for link, norm in zip(row["links"], row["norms"]):
+                if norm is None or norm in prior or norm in local_seen:
+                    continue
+                if not _can_process(link["href"], next_depth, self.filter_chain):
+                    continue
+                score = self.scorer.score(norm) if self.scorer else 0.0
+                if score < cfg.score_threshold:
+                    continue
+                local_seen.add(norm)
+                newly_seen.append(norm)
+                valid.append((norm, score))
+            if len(valid) > remaining:
+                if self.scorer:
+                    valid.sort(key=lambda x: x[1], reverse=True)
+                valid = valid[: int(remaining)]
+            for u, s in valid:
+                next_frontier.append(
+                    {"url": u, "depth": next_depth, "parent_url": row["url"], "score": s}
+                )
+
+        if newly_seen:
+            self.seen.add(newly_seen, [host_of(u) for u in newly_seen])
+        self._write_seen_delta(newly_seen, epoch)
+        return next_frontier
+
+    # ------------------------------------------------- scale-mode discovery
+    def _discover_scale(self, ext, epoch: int) -> list[dict]:
+        """Fully-distributed discovery: flatten → canonicalize → filter/score
+        → sharded check_and_add.  First caller wins; no global ordering."""
+        cfg = self.config
+        cand = ext.map_batches(
+            lambda b: _flatten_links(b, cfg.include_external),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        cand = cand.map_batches(
+            lambda b: canonicalize_batch(b, base_url_col="src_url"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        cand = cand.map_batches(
+            FilterScoreStage,
+            fn_constructor_kwargs={
+                "filter_factory": cfg.filter_factory,
+                "scorer_factory": cfg.scorer_factory,
+                "filter_url_col": "href",
+                "score_url_col": "url",
+            },
+            batch_format="pyarrow",
+            concurrency=(1, cfg.fetch_concurrency),
+            zero_copy_batch=True,
+        )
+
+        max_depth = cfg.max_depth
+        threshold = cfg.score_threshold
+
+        def _gate(batch: pa.Table) -> pa.Table:
+            depth_ok = (
+                np.asarray(batch.column("src_depth").to_numpy(zero_copy_only=False))
+                + 1
+                <= max_depth
+            )
+            passed = np.asarray(batch.column("passed").to_numpy(zero_copy_only=False))
+            score_ok = (
+                np.asarray(batch.column("score").to_numpy(zero_copy_only=False))
+                >= threshold
+            )
+            return batch.filter(pa.array(depth_ok & passed & score_ok))
+
+        cand = cand.map_batches(_gate, batch_format="pyarrow", zero_copy_batch=True)
+        cand = cand.map_batches(
+            _SeenCheckStage(self.seen.shards, cfg.num_seen_shards),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        rows = cand.select_columns(
+            ["url", "src_depth", "src_url", "score"]
+        ).take_all()
+        next_frontier = [
+            {
+                "url": r["url"],
+                "depth": r["src_depth"] + 1,
+                "parent_url": r["src_url"],
+                "score": r["score"],
+            }
+            for r in rows
+        ]
+        # approximate capacity enforcement at the epoch barrier
+        remaining = cfg.max_pages - self.pages_crawled
+        if len(next_frontier) > remaining:
+            next_frontier.sort(key=lambda r: r["score"], reverse=True)
+            next_frontier = next_frontier[: int(max(0, remaining))]
+        self._write_seen_delta([r["url"] for r in next_frontier], epoch)
+        return next_frontier
+
+    # ---------------------------------------------------------- checkpoints
+    def _write_seen_delta(self, urls: list[str], epoch: int) -> None:
+        tbl = pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "url_hash": pa.array([h64(u) for u in urls], type=pa.uint64()),
+                "shard_id": pa.array(
+                    [h64(host_of(u)) % self.config.num_seen_shards for u in urls],
+                    type=pa.int32(),
+                ),
+                "epoch": pa.array([epoch] * len(urls), type=pa.int32()),
+            },
+            schema=SEEN_SCHEMA,
+        )
+        self.store.write_epoch_table("seen", epoch, tbl)
+
+    def _write_metrics(self, ext, epoch: int, wall_s: float) -> dict:
+        # partial aggregation inside map_batches (one row per shard per
+        # batch), tiny final fold on the driver — never row-level collect
+        def _partial(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            shard = np.asarray(b.column("shard_id").to_numpy(zero_copy_only=False))
+            success = np.asarray(
+                b.column("success").to_numpy(zero_copy_only=False)
+            ).astype(bool)
+            sids = np.unique(shard)
+            return pa.table(
+                {
+                    "shard_id": pa.array(sids.tolist(), type=pa.int32()),
+                    "fetched": pa.array(
+                        [int(success[shard == s].sum()) for s in sids], type=pa.int64()
+                    ),
+                    "failed": pa.array(
+                        [int((~success[shard == s]).sum()) for s in sids],
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
+        stats = ext.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        per_shard: dict[int, dict] = {}
+        for r in stats:
+            d = per_shard.setdefault(r["shard_id"], {"fetched": 0, "failed": 0})
+            d["fetched"] += r["fetched"]
+            d["failed"] += r["failed"]
+        gens = self.seen.generations()
+        bloom_gen = max(gens) if gens else 0
+        tbl = pa.table(
+            {
+                "epoch": pa.array([epoch] * len(per_shard), type=pa.int32()),
+                "shard_id": pa.array(list(per_shard), type=pa.int32()),
+                "bloom_generation": pa.array([bloom_gen] * len(per_shard), type=pa.int32()),
+                "fetched": pa.array([d["fetched"] for d in per_shard.values()], type=pa.int64()),
+                "skipped": pa.array([0] * len(per_shard), type=pa.int64()),
+                "failed": pa.array([d["failed"] for d in per_shard.values()], type=pa.int64()),
+                "wall_s": pa.array([wall_s] * len(per_shard), type=pa.float64()),
+            }
+        )
+        self.store.write_epoch_table("metrics", epoch, tbl)
+        return {
+            "fetched": sum(d["fetched"] for d in per_shard.values()),
+            "failed": sum(d["failed"] for d in per_shard.values()),
+        }
+
+    # ---------------------------------------------------------------- run
+    def run(self, seeds: list[str], resume: bool = False) -> dict:
+        if self.config.strategy == "bfs":
+            return self._run_bfs(seeds, resume)
+        if self.config.strategy == "best_first":
+            return self._run_best_first(seeds)
+        if self.config.strategy == "dfs":
+            return self._run_dfs(seeds)
+        raise ValueError(f"unknown strategy {self.config.strategy}")
+
+    def _run_bfs(self, seeds: list[str], resume: bool) -> dict:
+        cfg = self.config
+        epoch = 0
+        frontier: pa.Table | None = None
+        if resume:
+            epoch, frontier = self._resume_state()
+        if frontier is None and epoch == 0:
+            frontier = self._seed_frontier(seeds, 0)
+            if cfg.preseed_visited and not cfg.deterministic:
+                urls = frontier.column("url").to_pylist()
+                self.seen.add(urls, [host_of(u) for u in urls])
+        total_fetched = 0
+        epochs_run = 0
+        t_start = time.time()
+        while (
+            frontier is not None
+            and frontier.num_rows > 0
+            and self.pages_crawled < cfg.max_pages
+        ):
+            if cfg.max_epochs is not None and epochs_run >= cfg.max_epochs:
+                break
+            self.store.write_epoch_table("frontier", epoch, frontier)
+            ext, wall = self._run_epoch_pipeline(frontier, epoch)
+            m = self._write_metrics(ext, epoch, wall)
+            if cfg.deterministic:
+                # fold increments pages_crawled per success in frontier order
+                next_rows = self._discover_deterministic(ext, epoch)
+            else:
+                self.pages_crawled += m["fetched"]
+                next_rows = self._discover_scale(ext, epoch)
+            total_fetched += m["fetched"]
+            next_table = (
+                _frontier_table(next_rows, epoch + 1, cfg.num_seen_shards)
+                if next_rows
+                else None
+            )
+            if next_table is not None:
+                self.store.write_epoch_table("frontier", epoch + 1, next_table)
+            self.store.write_manifest(
+                {
+                    "strategy": "bfs",
+                    "epoch": epoch,
+                    "pages_crawled": self.pages_crawled,
+                    "num_seen_shards": cfg.num_seen_shards,
+                    "bloom_generations": self.seen.generations(),
+                    "deterministic": cfg.deterministic,
+                }
+            )
+            frontier = next_table
+            epoch += 1
+            epochs_run += 1
+        wall_total = time.time() - t_start
+        return {
+            "epochs": epoch,
+            "pages_crawled": self.pages_crawled,
+            "fetched": total_fetched,
+            "seen_size": self.seen.total_size(),
+            "wall_s": wall_total,
+            "urls_per_s": total_fetched / wall_total if wall_total > 0 else 0.0,
+        }
+
+    # ------------------------------------------------------- best-first
+    def _run_best_first(self, seeds: list[str]) -> dict:
+        """Driver-heap Best-First (parity with bff_strategy.py:139-269):
+        one global priority queue ordered (-score, depth, seq), popped in
+        batches of ``best_first_batch``; fetch+extract run through the same
+        Ray pipeline per batch.  At 10^10 scale the heap becomes per-shard
+        heaps + a driver k-way merge (SURVEY.md §7.4 item 2)."""
+        cfg = self.config
+        heap: list[tuple[float, int, int, str, str | None]] = []
+        seq = 0
+        visited: set[str] = set()
+        for s in seeds:
+            canon = normalize_url_for_deep_crawl(s, s)
+            if canon and is_valid_frontier_url(canon):
+                heapq.heappush(heap, (0.0, 0, seq, canon, None))
+                seq += 1
+        batch_idx = 0
+        total_fetched = 0
+        t_start = time.time()
+        while heap and self.pages_crawled < cfg.max_pages:
+            batch_rows = []
+            while heap and len(batch_rows) < cfg.best_first_batch:
+                neg_score, depth, _, url, parent = heapq.heappop(heap)
+                batch_rows.append(
+                    {"url": url, "depth": depth, "parent_url": parent, "score": -neg_score}
+                )
+            frontier = _frontier_table(batch_rows, batch_idx, cfg.num_seen_shards)
+            self.store.write_epoch_table("frontier", batch_idx, frontier)
+            ext, wall = self._run_epoch_pipeline(frontier, batch_idx)
+            cand = ext.select_columns(
+                ["frontier_rank", "url", "depth", "success", "links"]
+            ).take_all()
+            cand.sort(key=lambda r: r["frontier_rank"])
+            newly = []
+            for row in cand:
+                if not row["success"]:
+                    continue
+                self.pages_crawled += 1
+                total_fetched += 1
+                next_depth = row["depth"] + 1
+                if next_depth > cfg.max_depth:
+                    continue
+                for link in row["links"] or []:
+                    if not link["internal"] and not cfg.include_external:
+                        continue
+                    norm = normalize_url_for_deep_crawl(link["href"], row["url"])
+                    if not norm or norm in visited:
+                        continue
+                    if not _can_process(link["href"], next_depth, self.filter_chain):
+                        continue
+                    score = self.scorer.score(norm) if self.scorer else 0.0
+                    if score < cfg.score_threshold:
+                        continue
+                    visited.add(norm)
+                    newly.append(norm)
+                    heapq.heappush(heap, (-score, next_depth, seq, norm, row["url"]))
+                    seq += 1
+            self._write_seen_delta(newly, batch_idx)
+            self._write_metrics(ext, batch_idx, wall)
+            self.store.write_manifest(
+                {
+                    "strategy": "best_first",
+                    "epoch": batch_idx,
+                    "pages_crawled": self.pages_crawled,
+                    "num_seen_shards": cfg.num_seen_shards,
+                    "bloom_generations": self.seen.generations(),
+                    "deterministic": True,
+                }
+            )
+            batch_idx += 1
+        wall_total = time.time() - t_start
+        if newly := [u for u in visited]:
+            self.seen.add(newly, [host_of(u) for u in newly])
+        return {
+            "epochs": batch_idx,
+            "pages_crawled": self.pages_crawled,
+            "fetched": total_fetched,
+            "seen_size": len(visited),
+            "wall_s": wall_total,
+            "urls_per_s": total_fetched / wall_total if wall_total > 0 else 0.0,
+        }
+
+    # -------------------------------------------------------------- dfs
+    def _run_dfs(self, seeds: list[str]) -> dict:
+        """Sequential DFS parity mode (dfs_strategy.py:27-111): LIFO stack,
+        children pushed reversed so the first-discovered link is crawled
+        next.  Inherently serial — provided for ordering parity, not scale
+        (SURVEY.md §2.8)."""
+        cfg = self.config
+        stack: list[tuple[str, str | None, int]] = []
+        visited: set[str] = set()
+        for s in reversed(seeds):
+            canon = normalize_url_for_deep_crawl(s, s)
+            if canon and is_valid_frontier_url(canon):
+                stack.append((canon, None, 0))
+        transport = self.transport
+        from ..state.politeness import RobotsGate
+
+        robots = RobotsGate(self.robots_bodies)
+        results = []
+        t_start = time.time()
+        while stack and self.pages_crawled < cfg.max_pages:
+            url, parent, depth = stack.pop()
+            host = host_of(url)
+            if not robots.can_fetch(host, url):
+                status, html = 403, ""
+            else:
+                status, html = transport.fetch(url)
+            success = status == 200
+            results.append(
+                {"url": url, "parent_url": parent, "depth": depth, "status_code": status,
+                 "success": success}
+            )
+            if not success:
+                continue
+            self.pages_crawled += 1
+            next_depth = depth + 1
+            if next_depth > cfg.max_depth:
+                continue
+            page = extract_page(html, url)
+            links = page["internal_links"] + (
+                page["external_links"] if cfg.include_external else []
+            )
+            discovered = []
+            for link in links:
+                norm = normalize_url_for_deep_crawl(link["href"], url)
+                if not norm or norm in visited:
+                    continue
+                if not _can_process(link["href"], next_depth, self.filter_chain):
+                    continue
+                score = self.scorer.score(norm) if self.scorer else 0.0
+                if score < cfg.score_threshold:
+                    continue
+                visited.add(norm)
+                discovered.append((norm, url, next_depth))
+            for item in reversed(discovered):
+                stack.append(item)
+        wall_total = time.time() - t_start
+        self._dfs_results = results
+        return {
+            "epochs": 0,
+            "pages_crawled": self.pages_crawled,
+            "fetched": self.pages_crawled,
+            "seen_size": len(visited),
+            "wall_s": wall_total,
+            "urls_per_s": self.pages_crawled / wall_total if wall_total > 0 else 0.0,
+        }
+
+    # ------------------------------------------------------------ outputs
+    def docs_dataset(self):
+        dirs = self.store.docs_dirs()
+        if not dirs:
+            return None
+        return ray.data.read_parquet(dirs)

@@ -1,0 +1,120 @@
+"""Fetch stage — stateful actor-pool map_batches over the frontier.
+
+``FetchStage`` is a callable class for
+``ds.map_batches(FetchStage, fn_constructor_kwargs=..., concurrency=N,
+batch_format="pyarrow")``: the transport and the politeness shard handles are
+built/captured ONCE per actor in ``__init__``; ``__call__`` handles one Arrow
+batch.  Per batch it:
+
+  1. groups URLs by host and asks each host's owning politeness shard for a
+     schedule (ONE RPC per (batch, shard) — batched, never per URL);
+  2. robots-denied URLs short-circuit to status 403 (reference behavior:
+     async_webcrawler.py:381-395 yields a 403-style failure without fetching);
+  3. sleeps until each URL's granted start time (no-op at zero delay);
+  4. fetches via the pluggable transport (synthetic page generator in this
+     sandbox; an HTTP transport mirroring async_crawler_strategy.py:2402-2481
+     slots into the same interface);
+  5. reports status codes back to the politeness shards (backoff feedback).
+
+Output columns: input passthrough + ``html``, ``status_code``, ``success``.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+import ray
+
+from ..urlnorm import host_of
+
+
+class FetchStage:
+    def __init__(
+        self,
+        transport,
+        politeness_shards: list | None = None,
+        num_politeness_shards: int = 0,
+        enforce_delays: bool = True,
+    ):
+        self.transport = transport
+        self.politeness = politeness_shards or []
+        self.num_politeness = num_politeness_shards or len(self.politeness)
+        self.enforce_delays = enforce_delays
+        from ..hashing import h64  # local import: actor serialization friendliness
+
+        self._h64 = h64
+
+    def _schedule(self, urls: list[str], hosts: list[str]):
+        """(allowed, start_ts) per URL via the owning politeness shards."""
+        if not self.politeness:
+            return [(True, 0.0)] * len(urls)
+        buckets: dict[int, list[int]] = {}
+        for i, host in enumerate(hosts):
+            buckets.setdefault(self._h64(host) % self.num_politeness, []).append(i)
+        refs = {
+            sid: self.politeness[sid].acquire.remote(
+                [hosts[i] for i in idx], [urls[i] for i in idx]
+            )
+            for sid, idx in buckets.items()
+        }
+        out: list[tuple[bool, float]] = [(True, 0.0)] * len(urls)
+        for sid, idx in buckets.items():
+            for i, grant in zip(idx, ray.get(refs[sid])):
+                out[i] = grant
+        return out
+
+    def _report(self, hosts: list[str], statuses: list[int]) -> None:
+        if not self.politeness:
+            return
+        buckets: dict[int, list[int]] = {}
+        for i, host in enumerate(hosts):
+            buckets.setdefault(self._h64(host) % self.num_politeness, []).append(i)
+        for sid, idx in buckets.items():
+            self.politeness[sid].report.remote(
+                [hosts[i] for i in idx], [statuses[i] for i in idx]
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hosts = (
+            batch.column("host").to_pylist()
+            if "host" in batch.column_names
+            else [host_of(u) for u in urls]
+        )
+        grants = self._schedule(urls, hosts)
+
+        htmls: list[str] = [""] * len(urls)
+        statuses: list[int] = [0] * len(urls)
+
+        # fetch in start-time order so one slow host doesn't delay others
+        order = sorted(range(len(urls)), key=lambda i: grants[i][1])
+        reported_hosts: list[str] = []
+        reported_status: list[int] = []
+        for i in order:
+            allowed, start = grants[i]
+            if not allowed:
+                statuses[i] = 403
+                continue
+            if self.enforce_delays and start > 0:
+                wait = start - time.time()
+                if wait > 0:
+                    time.sleep(wait)
+            status, html = self.transport.fetch(urls[i])
+            statuses[i] = status
+            htmls[i] = html
+            reported_hosts.append(hosts[i])
+            reported_status.append(status)
+        self._report(reported_hosts, reported_status)
+
+        out = batch
+        if "host" not in batch.column_names:
+            out = out.append_column("host", pa.array(hosts, type=pa.string()))
+        out = out.append_column("html", pa.array(htmls, type=pa.string()))
+        out = out.append_column(
+            "status_code", pa.array(statuses, type=pa.int16())
+        )
+        out = out.append_column(
+            "success", pa.array([s == 200 for s in statuses], type=pa.bool_())
+        )
+        return out

@@ -1,0 +1,104 @@
+"""Bloom filter, rate-limiter state machine, robots gate, checkpoint store."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from crawl4ai_ray.state.bloom import BloomFilter
+from crawl4ai_ray.state.checkpoint import CheckpointStore
+from crawl4ai_ray.state.politeness import RateLimiterState, RobotsGate
+
+
+def test_bloom_no_false_negatives():
+    bf = BloomFilter(capacity=10_000, error_rate=0.01)
+    keys = [f"http://h{i % 50}.test/p/{i}" for i in range(10_000)]
+    bf.add_batch(keys)
+    assert bf.contains_batch(keys).all()
+
+
+def test_bloom_false_positive_budget():
+    bf = BloomFilter(capacity=10_000, error_rate=0.01)
+    bf.add_batch([f"in-{i}" for i in range(10_000)])
+    fp = bf.contains_batch([f"out-{i}" for i in range(20_000)]).mean()
+    assert fp < 0.03  # budget p=0.01 with slack
+
+
+def test_bloom_add_batch_reports_dups():
+    bf = BloomFilter(capacity=1000)
+    first = bf.add_batch(["a", "b", "c"])
+    assert not first.any()
+    second = bf.add_batch(["a", "b", "d"])
+    assert second.tolist() == [True, True, False]
+
+
+def test_bloom_serialization_roundtrip():
+    bf = BloomFilter(capacity=1000)
+    bf.add_batch([f"k{i}" for i in range(500)])
+    bf2 = BloomFilter.from_bytes(bf.to_bytes(), 1000, 0.01, bf.count)
+    assert bf2.contains_batch([f"k{i}" for i in range(500)]).all()
+    assert bf2.num_hashes == bf.num_hashes
+
+
+def test_rate_limiter_serializes_per_host():
+    rl = RateLimiterState(base_delay=(2.0, 2.0), seed=1)
+    t0 = 1000.0
+    s1 = rl.next_allowed("h.test", t0)
+    s2 = rl.next_allowed("h.test", t0)
+    s3 = rl.next_allowed("h.test", t0)
+    assert s1 == t0
+    assert s2 == pytest.approx(t0 + 2.0)
+    assert s3 == pytest.approx(t0 + 4.0)
+    # independent host unaffected
+    assert rl.next_allowed("other.test", t0) == t0
+
+
+def test_rate_limiter_backoff_and_decay():
+    rl = RateLimiterState(base_delay=(1.0, 1.0), max_delay=60.0, max_retries=3, seed=1)
+    rl.next_allowed("h.test", 0.0)
+    d0 = rl.hosts["h.test"].current_delay
+    assert d0 == 1.0
+    assert rl.update_delay("h.test", 429)
+    d1 = rl.hosts["h.test"].current_delay
+    assert 2 * 0.75 * d0 <= d1 <= 2 * 1.25 * d0
+    # success decays ×0.75 floored at base
+    assert rl.update_delay("h.test", 200)
+    assert rl.hosts["h.test"].current_delay == max(1.0, d1 * 0.75)
+    assert rl.hosts["h.test"].fail_count == 0
+    # retries exhausted after max_retries+1 consecutive limit codes
+    for i in range(3):
+        assert rl.update_delay("h.test", 503)
+    assert not rl.update_delay("h.test", 503)
+
+
+def test_rate_limiter_cap():
+    rl = RateLimiterState(base_delay=(50.0, 50.0), max_delay=60.0, max_retries=99, seed=1)
+    rl.next_allowed("h.test", 0.0)
+    for _ in range(5):
+        rl.update_delay("h.test", 429)
+    assert rl.hosts["h.test"].current_delay <= 60.0
+
+
+def test_robots_gate():
+    gate = RobotsGate({"a.test": "User-agent: *\nDisallow: /private/\n"})
+    assert gate.can_fetch("a.test", "http://a.test/public/x")
+    assert not gate.can_fetch("a.test", "http://a.test/private/x")
+    # missing robots ⇒ allow-all (error-allows semantics, utils.py:348-352)
+    assert gate.can_fetch("b.test", "http://b.test/anything")
+
+
+def test_checkpoint_store(tmp_path):
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    assert store.read_manifest() is None
+    t = pa.table({"url": ["a", "b"], "epoch": [0, 0]})
+    store.write_epoch_table("seen", 0, t)
+    store.write_epoch_table("seen", 1, pa.table({"url": ["c"], "epoch": [1]}))
+    full = store.read_group("seen")
+    assert full.num_rows == 3
+    assert store.read_group("seen", upto_epoch=0).num_rows == 2
+    store.write_manifest({"epoch": 1, "pages_crawled": 3})
+    assert store.read_manifest()["epoch"] == 1
+    d = store.docs_epoch_dir(0)
+    assert "epoch=0" in d
+    assert store.docs_dirs() == [d]
