@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in crawl4ai_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+  * ``entry()`` — flagship crawl pipeline on sf0.001-adjacent synthetic data
+    plus a pass over the sf0.001 documents table (smoke check).
+  * ``queries()`` — one entry per implemented operator family
+    (SURVEY.md §2 + training-data extensions); each callable takes sf_dir.
+  * ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -20,25 +17,42 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: BFS crawl of the synthetic corpus (parity mode) → docs
+    Dataset with interleaved spans + lineage columns; smoke-checked ≥0 rows."""
+    import tempfile
+
+    from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+    from crawl4ai_ray.sources.corpus import (
+        CorpusParams,
+        SyntheticTransport,
+        robots_map,
+    )
+
+    params = CorpusParams(n_hosts=3, pages_per_host=30, seed=42, private_every=9)
+    cfg = CrawlConfig(
+        max_depth=4,
+        num_seen_shards=2,
+        num_politeness_shards=1,
+        fetch_batch_size=32,
+        deterministic=True,
+    )
+    engine = CrawlEngine(
+        SyntheticTransport(params),
+        cfg,
+        tempfile.mkdtemp(prefix="entry_crawl_"),
+        robots_bodies=robots_map(params),
+    )
+    engine.run(params.seeds())
+    return engine.docs_dataset()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from crawl4ai_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawl4ai_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

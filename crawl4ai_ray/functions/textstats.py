@@ -1,0 +1,169 @@
+"""Text analysis primitives for the large-scale training-data operators:
+tokenization, quality stats, language-ID heuristic, fingerprints, shingles,
+minhash/simhash.  All pure functions over strings/numpy — used inside
+map_batches stages (stages/dedup.py, pipelines/queries.py).
+
+The reference has per-document text machinery (BM25 content filters,
+content_filter_strategy.py:507-530; chunkers, chunking_strategy.py:28-256);
+corpus-level dedup/fingerprinting is our extension required by the task
+brief (training-data pipeline operators).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+from ..hashing import h64, h64_with_seed
+
+_WS_SPLIT = re.compile(r"\s+")
+_NON_ALPHA = re.compile(r"[^a-zA-Z]")
+_ANY_WS = re.compile(r"\s")
+# BPE-ish word/punct splitter: words, numbers, or single punctuation marks
+_BPE_RE = re.compile(r"[A-Za-z]+(?:'[a-z]+)?|\d+|[^\sA-Za-z\d]")
+
+
+def tokens(text: str) -> list[str]:
+    """Whitespace tokens (empty-safe)."""
+    return [t for t in _WS_SPLIT.split(text) if t]
+
+
+def token_count(text: str) -> int:
+    return len(tokens(text))
+
+
+def bpe_ish_tokens(text: str) -> list[str]:
+    """Regex token split approximating BPE pre-tokenization granularity."""
+    return _BPE_RE.findall(text)
+
+
+def quality_stats(text: str) -> dict:
+    """Length/punctuation/stopword-style quality features."""
+    n_chars = len(text)
+    toks = tokens(text)
+    n_tokens = len(toks)
+    compact = _ANY_WS.sub("", text)
+    alpha = _NON_ALPHA.sub("", text)
+    from .numeric import duck_round
+
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": float(duck_round(len(compact) / n_tokens, 3)) if n_tokens else 0.0,
+        "alpha_ratio": float(duck_round(len(alpha) / n_chars, 3)) if n_chars else 0.0,
+    }
+
+
+# ---------------------------------------------------------------- language ID
+# tiny stopword profiles (top function words per language); the heuristic
+# scores each language by stopword hits per token and returns the argmax.
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "it", "that", "for", "with", "was", "on", "a"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von", "zu", "den"},
+    "fr": {"le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour", "pas", "du"},
+    "es": {"el", "la", "los", "las", "y", "es", "una", "en", "que", "por", "con", "del", "no"},
+    "zh": set(),  # han-script detection below
+}
+
+
+def detect_language(text: str) -> str:
+    """n-gram/stopword heuristic language ID; 'und' when undecidable."""
+    if not text:
+        return "und"
+    han = sum(1 for c in text[:400] if "一" <= c <= "鿿")
+    if han > len(text[:400]) * 0.2:
+        return "zh"
+    toks = [t.lower() for t in tokens(text)[:200]]
+    if not toks:
+        return "und"
+    best, best_score = "und", 0.0
+    for lang, sw in _STOPWORDS.items():
+        if not sw:
+            continue
+        score = sum(1 for t in toks if t in sw) / len(toks)
+        if score > best_score:
+            best, best_score = lang, score
+    return best if best_score > 0.02 else "und"
+
+
+# --------------------------------------------------------------- fingerprints
+def md5_fingerprint(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8", "surrogatepass")).hexdigest()
+
+
+def rolling_fingerprint(text: str, base: int = 1_000_003, mod: int = (1 << 61) - 1) -> int:
+    """Polynomial rolling hash over whitespace tokens (document fingerprint)."""
+    h = 0
+    for t in tokens(text):
+        h = (h * base + h64(t)) % mod
+    return h
+
+
+def shingles(text: str, k: int = 3) -> set[str]:
+    """k-token shingles (n-gram units for jaccard/minhash)."""
+    toks = tokens(text.lower())
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
+
+
+# ------------------------------------------------------------------- minhash
+class MinHasher:
+    """64-perm minhash via seeded rehash of a base 64-bit hash (build once
+    per worker — classic stateful map_batches setup)."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 1):
+        self.num_perm = num_perm
+        rng = np.random.RandomState(seed)
+        # odd multipliers + offsets for a multiply-shift family
+        self.a = rng.randint(1, 2**62, size=num_perm).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+        self.b = rng.randint(0, 2**62, size=num_perm).astype(np.uint64)
+
+    def signature(self, shingle_set: set[str]) -> np.ndarray:
+        if not shingle_set:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        base = np.fromiter((h64(s) for s in shingle_set), dtype=np.uint64, count=len(shingle_set))
+        # multiply-shift permutations, vectorized over (shingles × perms)
+        vals = base[:, None] * self.a[None, :] + self.b[None, :]
+        return vals.min(axis=0)
+
+    def bands(self, sig: np.ndarray, band_rows: int = 8) -> list[int]:
+        """LSH band keys: hash of each band of `band_rows` signature slots."""
+        n_bands = self.num_perm // band_rows
+        out = []
+        for b in range(n_bands):
+            chunk = sig[b * band_rows : (b + 1) * band_rows].tobytes()
+            out.append(h64_with_seed(chunk, b))
+        return out
+
+
+# -------------------------------------------------------------------- simhash
+def simhash64(text: str) -> int:
+    """64-bit simhash over whitespace tokens."""
+    toks = tokens(text.lower())
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in toks:
+        h = h64(t)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -85,6 +85,9 @@ class CrawlConfig:
     filter_factory: object = None  # () -> FilterChain
     scorer_factory: object = None  # () -> URLScorer
     best_first_batch: int = 10
+    fetch_actor_pool: bool = False  # True ⇒ actor-pool fetch stage (stateful
+    #                                 transports); False ⇒ task-based (warm
+    #                                 worker reuse across epochs)
     max_epochs: int | None = None  # stop after N epochs (kill point for resume tests)
     preseed_visited: bool = False  # scale mode: add seeds to seen (reference batch
     #                                BFS does NOT — bfs_strategy.py:176 leaves the
@@ -210,6 +213,33 @@ class CrawlEngine:
             config.filter_factory() if config.filter_factory else None
         )
         self.scorer = config.scorer_factory() if config.scorer_factory else None
+        # serializable stage closures built ONCE and reused by every epoch's
+        # tasks (filters/scorers compile here, not per batch; warm Ray
+        # workers deserialize the already-built objects)
+        self._fetch_fn = FetchStage(
+            transport=self.transport,
+            politeness_shards=self.politeness.shards,
+            num_politeness_shards=config.num_politeness_shards,
+        )
+        self._filter_stage = FilterScoreStage(
+            filter_factory=config.filter_factory,
+            scorer_factory=config.scorer_factory,
+            filter_url_col="href",
+            score_url_col="url",
+        )
+        self._seen_check_stage = _SeenCheckStage(
+            self.seen.shards, config.num_seen_shards
+        )
+
+    def shutdown(self) -> None:
+        """Kill shard actors (tests create many engines per session)."""
+        import ray as _ray
+
+        for a in self.seen.shards + self.politeness.shards:
+            try:
+                _ray.kill(a)
+            except Exception:
+                pass
 
     # ------------------------------------------------------------- setup
     def _seed_frontier(self, seeds: list[str], epoch: int) -> pa.Table:
@@ -241,22 +271,35 @@ class CrawlEngine:
         cfg = self.config
         t0 = time.time()
         n = frontier.num_rows
-        num_blocks = max(1, math.ceil(n / cfg.fetch_batch_size))
-        ds = ray.data.from_arrow(frontier)
-        if num_blocks > 1:
-            ds = ds.repartition(num_blocks)
-        ds = ds.map_batches(
-            FetchStage,
-            fn_constructor_kwargs={
-                "transport": self.transport,
-                "politeness_shards": self.politeness.shards,
-                "num_politeness_shards": cfg.num_politeness_shards,
-            },
-            batch_size=cfg.fetch_batch_size,
-            batch_format="pyarrow",
-            concurrency=(1, cfg.fetch_concurrency),
-            zero_copy_batch=True,
-        )
+        # split driver-side into one block per fetch batch — no shuffle, and
+        # task-based map_batches reuses warm workers across epochs (an actor
+        # pool would re-spawn + re-import per epoch; use fetch_actor_pool for
+        # genuinely stateful transports like HTTP session pools)
+        slices = [
+            frontier.slice(off, cfg.fetch_batch_size)
+            for off in range(0, n, cfg.fetch_batch_size)
+        ]
+        ds = ray.data.from_arrow(slices)
+        if getattr(cfg, "fetch_actor_pool", False):
+            ds = ds.map_batches(
+                FetchStage,
+                fn_constructor_kwargs={
+                    "transport": self.transport,
+                    "politeness_shards": self.politeness.shards,
+                    "num_politeness_shards": cfg.num_politeness_shards,
+                },
+                batch_size=cfg.fetch_batch_size,
+                batch_format="pyarrow",
+                concurrency=(1, cfg.fetch_concurrency),
+                zero_copy_batch=True,
+            )
+        else:
+            ds = ds.map_batches(
+                self._fetch_fn,
+                batch_size=cfg.fetch_batch_size,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         ds = ds.map_batches(
             extract_batch,
             batch_size=cfg.extract_batch_size,
@@ -381,15 +424,8 @@ class CrawlEngine:
             zero_copy_batch=True,
         )
         cand = cand.map_batches(
-            FilterScoreStage,
-            fn_constructor_kwargs={
-                "filter_factory": cfg.filter_factory,
-                "scorer_factory": cfg.scorer_factory,
-                "filter_url_col": "href",
-                "score_url_col": "url",
-            },
+            self._filter_stage,
             batch_format="pyarrow",
-            concurrency=(1, cfg.fetch_concurrency),
             zero_copy_batch=True,
         )
 
@@ -411,7 +447,7 @@ class CrawlEngine:
 
         cand = cand.map_batches(_gate, batch_format="pyarrow", zero_copy_batch=True)
         cand = cand.map_batches(
-            _SeenCheckStage(self.seen.shards, cfg.num_seen_shards),
+            self._seen_check_stage,
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
@@ -576,29 +612,44 @@ class CrawlEngine:
     # ------------------------------------------------------- best-first
     def _run_best_first(self, seeds: list[str]) -> dict:
         """Driver-heap Best-First (parity with bff_strategy.py:139-269):
-        one global priority queue ordered (-score, depth, seq), popped in
-        batches of ``best_first_batch``; fetch+extract run through the same
-        Ray pipeline per batch.  At 10^10 scale the heap becomes per-shard
-        heaps + a driver k-way merge (SURVEY.md §7.4 item 2)."""
+        one global priority queue ordered (-score, depth, seq); URLs join
+        ``visited`` at POP time (bff:205-207 — unlike BFS, duplicates may sit
+        in the queue); link_discovery applies validity+filters but NO score
+        threshold (bff:92-137); batches of ``best_first_batch`` run through
+        the same Ray fetch+extract pipeline; processing stops mid-batch when
+        max_pages is reached (bff:233-238).  At 10^10 scale the heap becomes
+        per-shard heaps + a driver k-way merge (SURVEY.md §7.4 item 2)."""
         cfg = self.config
         heap: list[tuple[float, int, int, str, str | None]] = []
         seq = 0
         visited: set[str] = set()
+        depths: dict[str, int] = {}
         for s in seeds:
             canon = normalize_url_for_deep_crawl(s, s)
             if canon and is_valid_frontier_url(canon):
-                heapq.heappush(heap, (0.0, 0, seq, canon, None))
+                score = self.scorer.score(canon) if self.scorer else 0.0
+                heapq.heappush(heap, (-score, 0, seq, canon, None))
+                depths[canon] = 0
                 seq += 1
         batch_idx = 0
         total_fetched = 0
         t_start = time.time()
         while heap and self.pages_crawled < cfg.max_pages:
             batch_rows = []
-            while heap and len(batch_rows) < cfg.best_first_batch:
+            newly_visited: list[str] = []
+            for _ in range(cfg.best_first_batch):
+                if not heap:
+                    break
                 neg_score, depth, _, url, parent = heapq.heappop(heap)
+                if url in visited:
+                    continue
+                visited.add(url)
+                newly_visited.append(url)
                 batch_rows.append(
                     {"url": url, "depth": depth, "parent_url": parent, "score": -neg_score}
                 )
+            if not batch_rows:
+                continue
             frontier = _frontier_table(batch_rows, batch_idx, cfg.num_seen_shards)
             self.store.write_epoch_table("frontier", batch_idx, frontier)
             ext, wall = self._run_epoch_pipeline(frontier, batch_idx)
@@ -606,14 +657,17 @@ class CrawlEngine:
                 ["frontier_rank", "url", "depth", "success", "links"]
             ).take_all()
             cand.sort(key=lambda r: r["frontier_rank"])
-            newly = []
             for row in cand:
                 if not row["success"]:
                     continue
                 self.pages_crawled += 1
                 total_fetched += 1
+                if self.pages_crawled >= cfg.max_pages:
+                    break  # mid-batch stop (bff:233-238)
                 next_depth = row["depth"] + 1
                 if next_depth > cfg.max_depth:
+                    continue
+                if cfg.max_pages - self.pages_crawled <= 0:
                     continue
                 for link in row["links"] or []:
                     if not link["internal"] and not cfg.include_external:
@@ -623,14 +677,12 @@ class CrawlEngine:
                         continue
                     if not _can_process(link["href"], next_depth, self.filter_chain):
                         continue
+                    depths[norm] = next_depth
+                    new_depth = depths.get(norm, next_depth)
                     score = self.scorer.score(norm) if self.scorer else 0.0
-                    if score < cfg.score_threshold:
-                        continue
-                    visited.add(norm)
-                    newly.append(norm)
-                    heapq.heappush(heap, (-score, next_depth, seq, norm, row["url"]))
+                    heapq.heappush(heap, (-score, new_depth, seq, norm, row["url"]))
                     seq += 1
-            self._write_seen_delta(newly, batch_idx)
+            self._write_seen_delta(newly_visited, batch_idx)
             self._write_metrics(ext, batch_idx, wall)
             self.store.write_manifest(
                 {
@@ -644,8 +696,8 @@ class CrawlEngine:
             )
             batch_idx += 1
         wall_total = time.time() - t_start
-        if newly := [u for u in visited]:
-            self.seen.add(newly, [host_of(u) for u in newly])
+        if visited:
+            self.seen.add(sorted(visited), [host_of(u) for u in sorted(visited)])
         return {
             "epochs": batch_idx,
             "pages_crawled": self.pages_crawled,

@@ -43,6 +43,11 @@ class CorpusParams:
     private_every: int = 0     # every k-th page sits under /private/ (0 = none)
     link_back_to_seed: bool = False  # exercise the reference's unseeded-seed quirk
     latency_ms: int = 0        # synthetic fetch latency (0 in tests/bench)
+    # page-content sizing (defaults reproduce the original distribution)
+    n_paras_min: int = 2
+    n_paras_max: int = 5
+    words_min: int = 8
+    words_max: int = 32
 
     def host(self, i: int) -> str:
         return f"site{i}.test"
@@ -149,10 +154,13 @@ def page_blocks(params: CorpusParams, host_idx: int, page_id: int) -> list[dict]
     blocks: list[dict] = []
     blocks.append({"kind": "text", "text": f"Home > section {page_id % 7} > page {page_id}", "media_ref": ""})
     blocks.append({"kind": "text", "text": title, "media_ref": ""})
-    n_paras = 2 + rng.randrange(4)
+    n_paras = params.n_paras_min + rng.randrange(params.n_paras_max - params.n_paras_min + 1)
     n_imgs = rng.randrange(3)
     for p in range(n_paras):
-        words = " ".join(rng.choice(_WORDS) for _ in range(8 + rng.randrange(25)))
+        words = " ".join(
+            rng.choice(_WORDS)
+            for _ in range(params.words_min + rng.randrange(params.words_max - params.words_min + 1))
+        )
         blocks.append({"kind": "text", "text": words, "media_ref": ""})
         if p < n_imgs:
             blocks.append(
@@ -209,10 +217,13 @@ def synthesize_html(params: CorpusParams, host_idx: int, page_id: int) -> str:
     body: list[str] = ["<body>"]
     body.append(f'<nav class="breadcrumb">Home &gt; section {page_id % 7} &gt; page {page_id}</nav>')
     body.append(f"<h1>{title}</h1>")
-    n_paras = 2 + rng.randrange(4)
+    n_paras = params.n_paras_min + rng.randrange(params.n_paras_max - params.n_paras_min + 1)
     n_imgs = rng.randrange(3)
     for p in range(n_paras):
-        words = " ".join(rng.choice(_WORDS) for _ in range(8 + rng.randrange(25)))
+        words = " ".join(
+            rng.choice(_WORDS)
+            for _ in range(params.words_min + rng.randrange(params.words_max - params.words_min + 1))
+        )
         body.append(f"<p>{words}</p>")
         if p < n_imgs:
             body.append(

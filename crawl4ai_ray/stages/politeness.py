@@ -24,7 +24,7 @@ from ..hashing import h64
 from ..state.politeness import RateLimiterState, RobotsGate
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class PolitenessShard:
     def __init__(
         self,

@@ -27,9 +27,13 @@ from ..hashing import h64
 from ..state.bloom import BloomFilter
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class SeenShard:
-    """One shard of the URL-seen set."""
+    """One shard of the URL-seen set.
+
+    num_cpus=0: these are lightweight RPC state servers (microseconds per
+    batched call); reserving CPU slots for them would starve the map tasks
+    on small clusters and add nothing on big ones."""
 
     def __init__(
         self,

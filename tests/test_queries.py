@@ -1,0 +1,127 @@
+"""Query-vs-DuckDB oracle harness (mirrors the driver's comparison: row
+count + schema + order-insensitive value comparison) at sf0.001, plus
+invariant tests for the rows-only queries."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from crawl4ai_ray.pipelines import queries as Q
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sql: str) -> pa.Table:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(sql).arrow()
+
+
+def _to_table(result) -> pa.Table:
+    if isinstance(result, pa.Table):
+        return result
+    if isinstance(result, pd.DataFrame):
+        return pa.Table.from_pandas(result)
+    # ray Dataset
+    return pa.Table.from_pylist(result.take_all())
+
+
+def _canon(tbl: pa.Table) -> list[tuple]:
+    cols = sorted(tbl.column_names)
+    df = tbl.select(cols).to_pandas()
+    rows = []
+    for row in df.itertuples(index=False):
+        canon_row = []
+        for v in row:
+            if isinstance(v, float):
+                canon_row.append(round(v, 6) if not math.isnan(v) else "nan")
+            else:
+                canon_row.append(v)
+        rows.append(tuple(str(x) for x in canon_row))
+    return sorted(rows)
+
+
+SQL_QUERIES = sorted(Q.ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_oracle(name, ray_session):
+    got = _to_table(Q.QUERIES[name](SF))
+    want = _duck(Q.ORACLE_SQL[name])
+    assert got.num_rows == want.num_rows, f"{name}: rows {got.num_rows} != {want.num_rows}"
+    assert sorted(got.column_names) == sorted(want.column_names), name
+    assert _canon(got) == _canon(want), name
+
+
+ROWS_ONLY = sorted(set(Q.QUERIES) - set(Q.ORACLE_SQL) - {"crawl_bfs_demo"})
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, ray_session):
+    got = _to_table(Q.QUERIES[name](SF))
+    assert got.num_rows >= 0
+    # deterministic: same result twice
+    again = _to_table(Q.QUERIES[name](SF))
+    assert _canon(got) == _canon(again), name
+
+
+def test_langid_predicts_english_heavy(ray_session):
+    tbl = _to_table(Q.langid_predict(SF))
+    preds = tbl.column("predicted").to_pylist()
+    assert set(preds) <= {"en", "de", "fr", "es", "zh", "und"}
+
+
+def test_simhash_near_for_similar_text(ray_session):
+    from crawl4ai_ray.functions.textstats import hamming64, simhash64
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    c = "completely different words about databases and streaming engines"
+    assert hamming64(simhash64(a), simhash64(b)) < hamming64(simhash64(a), simhash64(c))
+
+
+def test_minhash_finds_planted_dups(ray_session):
+    """Plant near-duplicates and verify the LSH pipeline surfaces exactly
+    the planted pairs at threshold 0.5."""
+    import ray.data
+
+    from crawl4ai_ray.stages.dedup import minhash_dedup_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "by the warm fire and the mouse runs through the old wooden house"
+    )
+    rows = [{"doc_id": 0, "text": base}]
+    rows.append({"doc_id": 1, "text": base.replace("warm", "cold")})  # near-dup of 0
+    rows.append({"doc_id": 2, "text": base})  # exact dup of 0
+    for i in range(3, 30):
+        rows.append(
+            {"doc_id": i, "text": f"unrelated document number {i} with totally distinct tokens {i * 7} {i * 13} stream batch merge sort filter join"}
+        )
+    lookup = {r["doc_id"]: r["text"] for r in rows}
+    ds = ray.data.from_items(rows)
+    pairs = _to_table(minhash_dedup_pairs(ds, threshold=0.5, texts_lookup=lookup))
+    found = {(r["id_a"], r["id_b"]) for r in pairs.to_pylist()}
+    assert (0, 1) in found and (0, 2) in found and (1, 2) in found
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in found)
+
+
+def test_media_catalog_deterministic_meta(ray_session):
+    tbl = _to_table(Q.media_catalog(SF))
+    assert tbl.num_rows > 0
+    assert set(tbl.column_names) == {"doc_id", "media_ref", "kind", "width", "height", "format"}
+    assert all(w >= 64 for w in tbl.column("width").to_pylist())
+    assert set(tbl.column("format").to_pylist()) == {"jpg"}
+
+
+def test_knn_lsh_contains_query(ray_session):
+    tbl = _to_table(Q.knn_cosine_lsh(SF))
+    ids = tbl.column("vec_id").to_pylist()
+    assert 0 in ids  # the query vector itself lands in its own bucket
