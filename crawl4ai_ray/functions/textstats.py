@@ -149,19 +149,21 @@ class MinHasher:
 
 # -------------------------------------------------------------------- simhash
 def simhash64(text: str) -> int:
-    """64-bit simhash over whitespace tokens."""
+    """64-bit simhash over whitespace tokens (token-frequency weighted).
+
+    Vectorized: unique tokens hash once, the (n_tokens × 64) bit matrix is a
+    single numpy broadcast — constant Python overhead per document."""
     toks = tokens(text.lower())
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = h64(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    hashes = np.fromiter((h64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+    bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    weights = np.where(bits.astype(bool), counts[:, None], -counts[:, None])
+    acc = weights.sum(axis=0)
+    out = np.uint64(0)
+    mask = acc > 0
+    out = int((np.uint64(1) << np.arange(64, dtype=np.uint64))[mask].sum())
     return out
 
 

@@ -37,11 +37,14 @@ from __future__ import annotations
 
 import heapq
 import math
+import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -85,6 +88,7 @@ class CrawlConfig:
     filter_factory: object = None  # () -> FilterChain
     scorer_factory: object = None  # () -> URLScorer
     best_first_batch: int = 10
+    enrich: bool = False  # post-extract quality/langid/simhash enrichment
     fetch_actor_pool: bool = False  # True ⇒ actor-pool fetch stage (stateful
     #                                 transports); False ⇒ task-based (warm
     #                                 worker reuse across epochs)
@@ -106,8 +110,32 @@ def _can_process(url: str, depth: int, filter_chain) -> bool:
 
 
 def _frontier_table(rows: list[dict], epoch: int, num_shards: int) -> pa.Table:
-    """rows: dicts with url, depth, parent_url, score."""
+    """rows: dicts with url, depth, parent_url, score (+ optionally the
+    url_hash/host/host_hash already computed by the canonicalize stage —
+    reused instead of re-deriving on the driver)."""
     urls = [r["url"] for r in rows]
+    if rows and "host_hash" in rows[0]:
+        hosts = [r["host"] for r in rows]
+        host_hashes = [r["host_hash"] for r in rows]
+        url_hashes = [r["url_hash"] for r in rows]
+        return pa.table(
+            {
+                "frontier_rank": pa.array(range(len(rows)), type=pa.int64()),
+                "url": pa.array(urls, type=pa.string()),
+                "url_hash": pa.array(url_hashes, type=pa.uint64()),
+                "host": pa.array(hosts, type=pa.string()),
+                "host_hash": pa.array(host_hashes, type=pa.uint64()),
+                "depth": pa.array([r["depth"] for r in rows], type=pa.int32()),
+                "parent_url": pa.array(
+                    [r.get("parent_url") or "" for r in rows], type=pa.string()
+                ),
+                "score": pa.array([r.get("score", 0.0) for r in rows], type=pa.float32()),
+                "epoch": pa.array([epoch] * len(rows), type=pa.int32()),
+                "shard_id": pa.array(
+                    [hh % num_shards for hh in host_hashes], type=pa.int32()
+                ),
+            }
+        )
     hosts = [host_of(u) for u in urls]
     host_hashes = [h64(h) for h in hosts]
     return pa.table(
@@ -157,7 +185,11 @@ def _flatten_links(batch: pa.Table, include_external: bool) -> pa.Table:
     src_urls = batch.column("url").to_pylist()
     depths = batch.column("depth").to_pylist()
     successes = batch.column("success").to_pylist()
-    ranks = batch.column("frontier_rank").to_pylist()
+    ranks = (
+        batch.column("frontier_rank").to_pylist()
+        if "frontier_rank" in batch.column_names
+        else [-1] * len(src_urls)
+    )
     links_col = batch.column("links").to_pylist()
     out = {"src_url": [], "src_depth": [], "src_rank": [], "href": [], "link_pos": []}
     for src, depth, ok, rank, links in zip(src_urls, depths, successes, ranks, links_col):
@@ -216,10 +248,17 @@ class CrawlEngine:
         # serializable stage closures built ONCE and reused by every epoch's
         # tasks (filters/scorers compile here, not per batch; warm Ray
         # workers deserialize the already-built objects)
+        zero_budget = tuple(config.base_delay) == (0.0, 0.0)
+        local_robots = None
+        if zero_budget:
+            from ..state.politeness import RobotsGate
+
+            local_robots = RobotsGate(robots_bodies)
         self._fetch_fn = FetchStage(
             transport=self.transport,
             politeness_shards=self.politeness.shards,
             num_politeness_shards=config.num_politeness_shards,
+            local_robots=local_robots,
         )
         self._filter_stage = FilterScoreStage(
             filter_factory=config.filter_factory,
@@ -265,21 +304,21 @@ class CrawlEngine:
         return (last_done + 1, nxt)
 
     # ------------------------------------------------------------ epochs
-    def _run_epoch_pipeline(self, frontier: pa.Table, epoch: int):
-        """fetch → extract → write docs; returns the materialized extract
-        Dataset (html dropped) and per-epoch wall time."""
-        cfg = self.config
-        t0 = time.time()
+    def _stage_frontier(self, frontier: pa.Table, epoch: int, group: str = "frontier_in") -> str:
+        """Stage a frontier table as a directory of parquet part files sized
+        for full read fan-out (≤ 4×CPUs files)."""
         n = frontier.num_rows
-        # split driver-side into one block per fetch batch — no shuffle, and
-        # task-based map_batches reuses warm workers across epochs (an actor
-        # pool would re-spawn + re-import per epoch; use fetch_actor_pool for
-        # genuinely stateful transports like HTTP session pools)
-        slices = [
-            frontier.slice(off, cfg.fetch_batch_size)
-            for off in range(0, n, cfg.fetch_batch_size)
-        ]
-        ds = ray.data.from_arrow(slices)
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        target_files = max(1, min(math.ceil(n / 64), 4 * cpus))
+        rows_per_file = math.ceil(n / target_files)
+        return self.store.write_epoch_sharded(group, epoch, frontier, rows_per_file)
+
+    def _transform_from_ds(self, ds, epoch: int):
+        """Attach fetch → extract (→ enrich) → lineage to a frontier Dataset."""
+        cfg = self.config
         if getattr(cfg, "fetch_actor_pool", False):
             ds = ds.map_batches(
                 FetchStage,
@@ -296,17 +335,28 @@ class CrawlEngine:
         else:
             ds = ds.map_batches(
                 self._fetch_fn,
-                batch_size=cfg.fetch_batch_size,
+                batch_size=None,  # batch == block; parallelism is set by the
+                #                   input file count (coalescing to a target
+                #                   batch_size would merge small epochs into
+                #                   one or two tasks)
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
         ds = ds.map_batches(
             extract_batch,
-            batch_size=cfg.extract_batch_size,
+            batch_size=None,
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        ext = ds.materialize()
+        if getattr(cfg, "enrich", False):
+            from ..stages.extract import enrich_batch
+
+            ds = ds.map_batches(
+                enrich_batch,
+                batch_size=None,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
 
         gens = self.seen.generations()
         bloom_gen = max(gens) if gens else 0
@@ -328,13 +378,186 @@ class CrawlEngine:
             )
             return batch
 
-        docs_dir = self.store.docs_epoch_dir(epoch)
-        (
-            ext.drop_columns(["links"])
-            .map_batches(_add_lineage, batch_format="pyarrow", zero_copy_batch=True)
-            .write_parquet(docs_dir)
+        return ds.map_batches(
+            _add_lineage, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
+
+    def _epoch_transform_ds(self, frontier: pa.Table, epoch: int):
+        """Stage a frontier table to parquet parts (read fan-out: one read
+        task per file — a single file's block generator trickles through
+        backpressure and serializes the epoch; from_arrow on table slices
+        re-pickles the parent buffer per slice) and attach the transform
+        chain.  Task-based map_batches reuses warm workers across epochs."""
+        input_dir = self._stage_frontier(frontier, epoch)
+        return self._transform_from_ds(ray.data.read_parquet(input_dir), epoch)
+
+    def _run_epoch_pipeline(self, frontier: pa.Table, epoch: int):
+        """Parity path: ONE streaming execution fetch→extract→lineage→parquet,
+        then a column-PRUNED readback (links + bookkeeping only — the wide
+        doc payload never round-trips) materialized for the driver fold."""
+        t0 = time.time()
+        ds = self._epoch_transform_ds(frontier, epoch)
+        docs_dir = self.store.docs_epoch_dir(epoch)
+        ds.write_parquet(docs_dir)
+        ext = ray.data.read_parquet(
+            docs_dir,
+            columns=[
+                "frontier_rank", "url", "depth", "success", "links", "shard_id",
+            ],
+        ).materialize()
         return ext, time.time() - t0
+
+    def _run_epoch_scale(self, input_dir: str, epoch: int):
+        """Scale path: ONE streaming execution per epoch, and the driver
+        never holds a row.  The chain is
+
+            read frontier parts → fetch → extract (→ enrich) → lineage
+              → sink docs part + prune      (write docs, forward link keys)
+              → flatten → canonicalize → filter/score → depth gate
+              → sharded check_and_add       (first caller wins)
+              → emit next-frontier part     (write parquet, forward count)
+
+        so all the driver collects is one count per batch plus the
+        politeness-shard counters (metrics).  The next epoch reads the
+        frontier parts this epoch wrote; those parts double as the seen-set
+        delta for resume (scale mode adds to seen exactly what enters the
+        frontier)."""
+        import uuid
+
+        cfg = self.config
+        t0 = time.time()
+        ds = self._transform_from_ds(ray.data.read_parquet(input_dir), epoch)
+        docs_dir = self.store.docs_epoch_dir(epoch)
+        next_dir = os.path.join(self.store.root, "frontier", f"epoch={epoch + 1}")
+        shutil.rmtree(next_dir, ignore_errors=True)
+        os.makedirs(next_dir, exist_ok=True)
+        next_epoch = epoch + 1
+        num_shards = cfg.num_seen_shards
+
+        def _sink_and_prune(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            pq.write_table(batch, f"{docs_dir}/part-{uuid.uuid4().hex}.parquet")
+            return batch.select(["url", "depth", "success", "links"])
+
+        pruned = ds.map_batches(
+            _sink_and_prune, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        cand = pruned.map_batches(
+            lambda b: _flatten_links(b, cfg.include_external),
+            batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
+        )
+        cand = cand.map_batches(
+            lambda b: canonicalize_batch(b, base_url_col="src_url"),
+            batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
+        )
+        cand = cand.map_batches(
+            self._filter_stage, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        max_depth = cfg.max_depth
+        threshold = cfg.score_threshold
+
+        def _gate(batch: pa.Table) -> pa.Table:
+            depth_ok = (
+                np.asarray(batch.column("src_depth").to_numpy(zero_copy_only=False)) + 1
+                <= max_depth
+            )
+            passed = np.asarray(batch.column("passed").to_numpy(zero_copy_only=False))
+            score_ok = (
+                np.asarray(batch.column("score").to_numpy(zero_copy_only=False))
+                >= threshold
+            )
+            return batch.filter(pa.array(depth_ok & passed & score_ok))
+
+        cand = cand.map_batches(
+            _gate, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        # intra-batch first-wins dedup before the driver round: shrinks the
+        # collected key set (duplicate targets are common within an epoch)
+        def _local_dedup(batch: pa.Table) -> pa.Table:
+            urls = batch.column("url").to_pylist()
+            seen_local: set[str] = set()
+            keep = np.empty(len(urls), dtype=bool)
+            for i, u in enumerate(urls):
+                fresh = u not in seen_local
+                keep[i] = fresh
+                if fresh:
+                    seen_local.add(u)
+            return batch.filter(pa.array(keep))
+
+        cand = cand.map_batches(
+            _local_dedup, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        # Seen anti-join: ONE batched scatter-gather round on the driver over
+        # candidate KEYS only (url/hashes/host/depth/parent/score — never the
+        # documents).  In-task ray.get on the shard actors stalls workers and
+        # triggers raylet spawn storms at high parallelism; the driver round
+        # is a single ordered call per shard.  The epoch barrier makes the
+        # two orderings equivalent.
+        rows = cand.select_columns(
+            ["url", "url_hash", "host", "host_hash", "src_depth", "src_url", "score"]
+        ).take_all()
+        if rows:
+            fresh = self.seen.check_and_add(
+                [r["url"] for r in rows], [r["host"] for r in rows]
+            )
+            rows = [r for r, f in zip(rows, fresh) if f]
+
+        counters = ray.get(
+            [s.drain_counters.remote() for s in self.politeness.shards]
+        )
+        fetched = sum(c["fetched"] for c in counters)
+        self.pages_crawled += fetched
+        remaining = cfg.max_pages - self.pages_crawled
+        if len(rows) > remaining:
+            rows.sort(key=lambda r: (-r["score"], r["url"]))
+            rows = rows[: int(max(0, remaining))]
+        next_n = len(rows)
+        if next_n:
+            next_table = _frontier_table(
+                [
+                    {
+                        "url": r["url"],
+                        "url_hash": r["url_hash"],
+                        "host": r["host"],
+                        "host_hash": r["host_hash"],
+                        "depth": r["src_depth"] + 1,
+                        "parent_url": r["src_url"],
+                        "score": r["score"],
+                    }
+                    for r in rows
+                ],
+                next_epoch,
+                num_shards,
+            )
+            self._stage_frontier(next_table, next_epoch, group="frontier")
+        wall = time.time() - t0
+        m = self._write_metrics_from_counters(counters, epoch, wall)
+        return (next_dir if next_n else None), next_n, m, wall
+
+    def _write_metrics_from_counters(
+        self, counters: list[dict], epoch: int, wall_s: float
+    ) -> dict:
+        """Metrics table from politeness-shard counters (scale path)."""
+        gens = self.seen.generations()
+        bloom_gen = max(gens) if gens else 0
+        n = len(counters)
+        tbl = pa.table(
+            {
+                "epoch": pa.array([epoch] * n, type=pa.int32()),
+                "shard_id": pa.array(list(range(n)), type=pa.int32()),
+                "bloom_generation": pa.array([bloom_gen] * n, type=pa.int32()),
+                "fetched": pa.array([c["fetched"] for c in counters], type=pa.int64()),
+                "skipped": pa.array([c["denied"] for c in counters], type=pa.int64()),
+                "failed": pa.array([c["failed"] for c in counters], type=pa.int64()),
+                "wall_s": pa.array([wall_s] * n, type=pa.float64()),
+            }
+        )
+        self.store.write_epoch_table("metrics", epoch, tbl)
+        return {
+            "fetched": sum(c["fetched"] for c in counters),
+            "failed": sum(c["failed"] + c["denied"] for c in counters),
+        }
 
     # ------------------------------------------------ parity-mode discovery
     def _discover_deterministic(self, ext, epoch: int) -> list[dict]:
@@ -408,77 +631,24 @@ class CrawlEngine:
         self._write_seen_delta(newly_seen, epoch)
         return next_frontier
 
-    # ------------------------------------------------- scale-mode discovery
-    def _discover_scale(self, ext, epoch: int) -> list[dict]:
-        """Fully-distributed discovery: flatten → canonicalize → filter/score
-        → sharded check_and_add.  First caller wins; no global ordering."""
-        cfg = self.config
-        cand = ext.map_batches(
-            lambda b: _flatten_links(b, cfg.include_external),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        cand = cand.map_batches(
-            lambda b: canonicalize_batch(b, base_url_col="src_url"),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        cand = cand.map_batches(
-            self._filter_stage,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-
-        max_depth = cfg.max_depth
-        threshold = cfg.score_threshold
-
-        def _gate(batch: pa.Table) -> pa.Table:
-            depth_ok = (
-                np.asarray(batch.column("src_depth").to_numpy(zero_copy_only=False))
-                + 1
-                <= max_depth
-            )
-            passed = np.asarray(batch.column("passed").to_numpy(zero_copy_only=False))
-            score_ok = (
-                np.asarray(batch.column("score").to_numpy(zero_copy_only=False))
-                >= threshold
-            )
-            return batch.filter(pa.array(depth_ok & passed & score_ok))
-
-        cand = cand.map_batches(_gate, batch_format="pyarrow", zero_copy_batch=True)
-        cand = cand.map_batches(
-            self._seen_check_stage,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        rows = cand.select_columns(
-            ["url", "src_depth", "src_url", "score"]
-        ).take_all()
-        next_frontier = [
-            {
-                "url": r["url"],
-                "depth": r["src_depth"] + 1,
-                "parent_url": r["src_url"],
-                "score": r["score"],
-            }
-            for r in rows
-        ]
-        # approximate capacity enforcement at the epoch barrier
-        remaining = cfg.max_pages - self.pages_crawled
-        if len(next_frontier) > remaining:
-            next_frontier.sort(key=lambda r: r["score"], reverse=True)
-            next_frontier = next_frontier[: int(max(0, remaining))]
-        self._write_seen_delta([r["url"] for r in next_frontier], epoch)
-        return next_frontier
-
     # ---------------------------------------------------------- checkpoints
-    def _write_seen_delta(self, urls: list[str], epoch: int) -> None:
+    def _write_seen_delta(
+        self,
+        urls: list[str],
+        epoch: int,
+        url_hashes: list[int] | None = None,
+        host_hashes: list[int] | None = None,
+    ) -> None:
+        if url_hashes is None:
+            url_hashes = [h64(u) for u in urls]
+        if host_hashes is None:
+            host_hashes = [h64(host_of(u)) for u in urls]
         tbl = pa.table(
             {
                 "url": pa.array(urls, type=pa.string()),
-                "url_hash": pa.array([h64(u) for u in urls], type=pa.uint64()),
+                "url_hash": pa.array(url_hashes, type=pa.uint64()),
                 "shard_id": pa.array(
-                    [h64(host_of(u)) % self.config.num_seen_shards for u in urls],
+                    [hh % self.config.num_seen_shards for hh in host_hashes],
                     type=pa.int32(),
                 ),
                 "epoch": pa.array([epoch] * len(urls), type=pa.int32()),
@@ -512,7 +682,7 @@ class CrawlEngine:
             )
 
         stats = ext.map_batches(
-            _partial, batch_format="pyarrow", zero_copy_batch=True
+            _partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         ).take_all()
         per_shard: dict[int, dict] = {}
         for r in stats:
@@ -549,6 +719,11 @@ class CrawlEngine:
         raise ValueError(f"unknown strategy {self.config.strategy}")
 
     def _run_bfs(self, seeds: list[str], resume: bool) -> dict:
+        if self.config.deterministic:
+            return self._run_bfs_parity(seeds, resume)
+        return self._run_bfs_scale(seeds, resume)
+
+    def _run_bfs_parity(self, seeds: list[str], resume: bool) -> dict:
         cfg = self.config
         epoch = 0
         frontier: pa.Table | None = None
@@ -556,9 +731,6 @@ class CrawlEngine:
             epoch, frontier = self._resume_state()
         if frontier is None and epoch == 0:
             frontier = self._seed_frontier(seeds, 0)
-            if cfg.preseed_visited and not cfg.deterministic:
-                urls = frontier.column("url").to_pylist()
-                self.seen.add(urls, [host_of(u) for u in urls])
         total_fetched = 0
         epochs_run = 0
         t_start = time.time()
@@ -569,15 +741,13 @@ class CrawlEngine:
         ):
             if cfg.max_epochs is not None and epochs_run >= cfg.max_epochs:
                 break
-            self.store.write_epoch_table("frontier", epoch, frontier)
+            self.store.write_epoch_table(
+                "frontier", epoch, frontier, row_group_size=cfg.fetch_batch_size
+            )
             ext, wall = self._run_epoch_pipeline(frontier, epoch)
             m = self._write_metrics(ext, epoch, wall)
-            if cfg.deterministic:
-                # fold increments pages_crawled per success in frontier order
-                next_rows = self._discover_deterministic(ext, epoch)
-            else:
-                self.pages_crawled += m["fetched"]
-                next_rows = self._discover_scale(ext, epoch)
+            # fold increments pages_crawled per success in frontier order
+            next_rows = self._discover_deterministic(ext, epoch)
             total_fetched += m["fetched"]
             next_table = (
                 _frontier_table(next_rows, epoch + 1, cfg.num_seen_shards)
@@ -585,7 +755,10 @@ class CrawlEngine:
                 else None
             )
             if next_table is not None:
-                self.store.write_epoch_table("frontier", epoch + 1, next_table)
+                self.store.write_epoch_table(
+                    "frontier", epoch + 1, next_table,
+                    row_group_size=cfg.fetch_batch_size,
+                )
             self.store.write_manifest(
                 {
                     "strategy": "bfs",
@@ -593,7 +766,7 @@ class CrawlEngine:
                     "pages_crawled": self.pages_crawled,
                     "num_seen_shards": cfg.num_seen_shards,
                     "bloom_generations": self.seen.generations(),
-                    "deterministic": cfg.deterministic,
+                    "deterministic": True,
                 }
             )
             frontier = next_table
@@ -608,6 +781,81 @@ class CrawlEngine:
             "wall_s": wall_total,
             "urls_per_s": total_fetched / wall_total if wall_total > 0 else 0.0,
         }
+
+    def _run_bfs_scale(self, seeds: list[str], resume: bool) -> dict:
+        """Throughput path: frontier lives as parquet part directories; the
+        driver moves only directory names, counts and counters between
+        epochs (SURVEY.md §3.4 at 10^10 scale)."""
+        cfg = self.config
+        epoch = 0
+        input_dir: str | None = None
+        n = 0
+        if resume:
+            epoch, input_dir, n = self._resume_scale()
+        if input_dir is None and epoch == 0:
+            seed_tbl = self._seed_frontier(seeds, 0)
+            if cfg.preseed_visited:
+                urls = seed_tbl.column("url").to_pylist()
+                self.seen.add(urls, [host_of(u) for u in urls])
+            input_dir = self._stage_frontier(seed_tbl, 0, group="frontier")
+            n = seed_tbl.num_rows
+        total_fetched = 0
+        epochs_run = 0
+        t_start = time.time()
+        while input_dir and n > 0 and self.pages_crawled < cfg.max_pages:
+            if cfg.max_epochs is not None and epochs_run >= cfg.max_epochs:
+                break
+            next_dir, next_n, m, wall = self._run_epoch_scale(input_dir, epoch)
+            total_fetched += m["fetched"]
+            self.store.write_manifest(
+                {
+                    "strategy": "bfs",
+                    "epoch": epoch,
+                    "pages_crawled": self.pages_crawled,
+                    "num_seen_shards": cfg.num_seen_shards,
+                    "bloom_generations": self.seen.generations(),
+                    "deterministic": False,
+                    "seen_source": "frontier_dirs",
+                    "preseed_visited": cfg.preseed_visited,
+                }
+            )
+            input_dir, n = next_dir, next_n
+            epoch += 1
+            epochs_run += 1
+        wall_total = time.time() - t_start
+        return {
+            "epochs": epoch,
+            "pages_crawled": self.pages_crawled,
+            "fetched": total_fetched,
+            "seen_size": self.seen.total_size(),
+            "wall_s": wall_total,
+            "urls_per_s": total_fetched / wall_total if wall_total > 0 else 0.0,
+        }
+
+    def _resume_scale(self) -> tuple[int, str | None, int]:
+        """Rebuild seen shards from the frontier part dirs (epochs ≥ 1 hold
+        exactly the URLs added to seen; epoch 0 seeds only under
+        preseed_visited) and continue at the last uncompleted epoch."""
+        import pyarrow.parquet as pq
+
+        manifest = self.store.read_manifest()
+        if manifest is None:
+            return (0, None, 0)
+        last_done = manifest["epoch"]
+        self.pages_crawled = manifest["pages_crawled"]
+        urls: list[str] = []
+        start = 0 if manifest.get("preseed_visited") else 1
+        for e in range(start, last_done + 2):
+            d = os.path.join(self.store.root, "frontier", f"epoch={e}")
+            if os.path.isdir(d) and os.listdir(d):
+                urls.extend(pq.read_table(d, columns=["url"]).column("url").to_pylist())
+        if urls:
+            self.seen.load_partitioned(urls, [host_of(u) for u in urls])
+        nxt = os.path.join(self.store.root, "frontier", f"epoch={last_done + 1}")
+        if os.path.isdir(nxt) and os.listdir(nxt):
+            n = pq.read_table(nxt, columns=["url"]).num_rows
+            return (last_done + 1, nxt, n)
+        return (last_done + 1, None, 0)
 
     # ------------------------------------------------------- best-first
     def _run_best_first(self, seeds: list[str]) -> dict:
@@ -651,7 +899,9 @@ class CrawlEngine:
             if not batch_rows:
                 continue
             frontier = _frontier_table(batch_rows, batch_idx, cfg.num_seen_shards)
-            self.store.write_epoch_table("frontier", batch_idx, frontier)
+            self.store.write_epoch_table(
+                "frontier", batch_idx, frontier, row_group_size=cfg.fetch_batch_size
+            )
             ext, wall = self._run_epoch_pipeline(frontier, batch_idx)
             cand = ext.select_columns(
                 ["frontier_rank", "url", "depth", "success", "links"]

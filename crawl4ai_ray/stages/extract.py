@@ -514,3 +514,48 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     out = out.append_column("description", pa.array(descriptions, type=pa.string()))
     out = out.append_column("markdown", pa.array(markdowns, type=pa.string()))
     return out
+
+
+_ENRICH_MINHASHER = None  # per-process singleton (module-level worker state)
+
+
+def enrich_batch(batch: pa.Table) -> pa.Table:
+    """Optional post-extract enrichment: per-doc quality stats, language ID,
+    simhash fingerprint, and a minhash signature over shingles (near-dup
+    prep) — the scoring/dedup work a production crawl pipeline runs between
+    extract and sink.  Stateless map_batches stage; appended columns only."""
+    global _ENRICH_MINHASHER
+    from ..functions.textstats import (
+        MinHasher,
+        detect_language,
+        quality_stats,
+        shingles,
+        simhash64,
+    )
+
+    if _ENRICH_MINHASHER is None:
+        _ENRICH_MINHASHER = MinHasher(num_perm=64, seed=1)
+    hasher = _ENRICH_MINHASHER
+
+    texts = batch.column("markdown").to_pylist()
+    stats = [quality_stats(t or "") for t in texts]
+    minhashes = [
+        hasher.signature(shingles(t or "", 3)).tobytes() for t in texts
+    ]
+    return (
+        batch.append_column(
+            "n_tokens", pa.array([s["n_tokens"] for s in stats], type=pa.int64())
+        )
+        .append_column(
+            "alpha_ratio", pa.array([s["alpha_ratio"] for s in stats], type=pa.float64())
+        )
+        .append_column(
+            "lang_pred",
+            pa.array([detect_language(t or "") for t in texts], type=pa.string()),
+        )
+        .append_column(
+            "simhash",
+            pa.array([f"{simhash64(t or ''):016x}" for t in texts], type=pa.string()),
+        )
+        .append_column("minhash_sig", pa.array(minhashes, type=pa.binary()))
+    )

@@ -36,17 +36,36 @@ class FetchStage:
         politeness_shards: list | None = None,
         num_politeness_shards: int = 0,
         enforce_delays: bool = True,
+        local_robots=None,
     ):
+        """``local_robots``: a RobotsGate evaluated in-task instead of the
+        blocking ``acquire`` RPC.  Used when the politeness budget is zero
+        (bench/scale runs): a task blocked in ray.get makes the raylet spawn
+        extra workers, and at high parallelism those spawn storms dominate
+        wall time.  Robots rules are static, so shipping the gate in the
+        closure is a plain broadcast; outcome counters still flow to the
+        politeness shards via fire-and-forget ``report``."""
         self.transport = transport
         self.politeness = politeness_shards or []
         self.num_politeness = num_politeness_shards or len(self.politeness)
         self.enforce_delays = enforce_delays
+        self.local_robots = local_robots
         from ..hashing import h64  # local import: actor serialization friendliness
 
         self._h64 = h64
 
     def _schedule(self, urls: list[str], hosts: list[str]):
         """(allowed, start_ts) per URL via the owning politeness shards."""
+        if self.local_robots is not None:
+            denied = 0
+            out = []
+            for host, url in zip(hosts, urls):
+                ok = self.local_robots.can_fetch(host, url)
+                denied += not ok
+                out.append((ok, 0.0))
+            if denied and self.politeness:
+                self.politeness[0].report_denied.remote(denied)
+            return out
         if not self.politeness:
             return [(True, 0.0)] * len(urls)
         buckets: dict[int, list[int]] = {}

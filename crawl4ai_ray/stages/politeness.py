@@ -44,6 +44,9 @@ class PolitenessShard:
             seed=seed,
         )
         self.robots = RobotsGate(robots_bodies, user_agent=user_agent)
+        # fetch outcome counters, drained once per epoch by the driver — the
+        # metrics table costs zero extra Dataset executions this way
+        self._counters = {"fetched": 0, "failed": 0, "denied": 0}
 
     def acquire(self, hosts: list[str], urls: list[str]) -> list[tuple[bool, float]]:
         """Per URL: (robots-allowed, start_ts). Claims one rate-limit slot per
@@ -52,6 +55,7 @@ class PolitenessShard:
         out = []
         for host, url in zip(hosts, urls):
             if not self.robots.can_fetch(host, url):
+                self._counters["denied"] += 1
                 out.append((False, 0.0))
                 continue
             start = self.limiter.next_allowed(host, now)
@@ -61,9 +65,23 @@ class PolitenessShard:
     def report(self, hosts: list[str], status_codes: list[int]) -> list[bool]:
         """Feed response codes back into the backoff machine; False per host
         ⇒ retries exhausted (async_dispatcher.py:65-85)."""
+        for s in status_codes:
+            self._counters["fetched" if s == 200 else "failed"] += 1
         return [
             self.limiter.update_delay(h, s) for h, s in zip(hosts, status_codes)
         ]
+
+    def report_denied(self, n: int) -> None:
+        """Robots denials observed by tasks running in local-robots mode."""
+        self._counters["denied"] += n
+
+    def drain_counters(self) -> dict:
+        """Counters since the last drain (fire-and-forget reports submitted
+        before the epoch barrier are ordered before this call in practice;
+        metrics are bookkeeping, not correctness)."""
+        out = self._counters
+        self._counters = {"fetched": 0, "failed": 0, "denied": 0}
+        return out
 
     def host_delay(self, host: str) -> float:
         st = self.limiter.hosts.get(host)

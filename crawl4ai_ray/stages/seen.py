@@ -74,7 +74,17 @@ class SeenShard:
                     self.exact.add(u)
             self.bloom.add_batch(urls)
             return out
-        return ~self.bloom.add_batch(urls)
+        fresh = ~self.bloom.add_batch(urls)
+        # bloom add_batch tests ALL keys before setting bits, so duplicates
+        # within one call would all read "fresh" — first occurrence wins here
+        local: set[str] = set()
+        for i, u in enumerate(urls):
+            if fresh[i]:
+                if u in local:
+                    fresh[i] = False
+                else:
+                    local.add(u)
+        return fresh
 
     def size(self) -> int:
         return len(self.exact) if self.exact_enabled else self.bloom.count

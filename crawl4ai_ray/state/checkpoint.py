@@ -56,13 +56,58 @@ class CheckpointStore:
         os.replace(tmp, self.manifest_path)
 
     # -- tables ----------------------------------------------------------
-    def _epoch_file(self, group: str, epoch: int) -> str:
+    def epoch_file(self, group: str, epoch: int) -> str:
         d = os.path.join(self.root, group)
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"epoch={epoch}.parquet")
 
-    def write_epoch_table(self, group: str, epoch: int, table: pa.Table) -> None:
-        pq.write_table(table, self._epoch_file(group, epoch))
+    _epoch_file = epoch_file  # back-compat alias
+
+    def write_epoch_table(
+        self, group: str, epoch: int, table: pa.Table, row_group_size: int | None = None
+    ) -> None:
+        pq.write_table(table, self.epoch_file(group, epoch), row_group_size=row_group_size)
+
+    def write_epoch_sharded(
+        self, group: str, epoch: int, table: pa.Table, rows_per_file: int
+    ) -> str:
+        """Write one epoch table as a DIRECTORY of part files so
+        ``ray.data.read_parquet`` spawns one read task per file — a single
+        file reads in ONE task whose SplitBlocks generator trickles blocks
+        through backpressure and serializes the downstream stage."""
+        d = os.path.join(self.root, group, f"epoch={epoch}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        n = table.num_rows
+        offsets = list(range(0, n, rows_per_file))
+        if len(offsets) > 8:
+            # parallel staging: ship the table once, workers write slices
+            import ray
+
+            @ray.remote(num_cpus=0.5)
+            def _write_parts(tbl, offs, rows, dir_, ids):
+                import pyarrow.parquet as _pq
+
+                for off, i in zip(offs, ids):
+                    chunk = tbl.slice(off, rows).combine_chunks()
+                    _pq.write_table(chunk, os.path.join(dir_, f"part-{i:05d}.parquet"))
+                return len(offs)
+
+            tbl_ref = ray.put(table.combine_chunks())
+            groups = 8
+            refs = []
+            for g in range(groups):
+                offs = offsets[g::groups]
+                ids = list(range(g, len(offsets), groups))
+                if offs:
+                    refs.append(_write_parts.remote(tbl_ref, offs, rows_per_file, d, ids))
+            ray.get(refs)
+        else:
+            for i, off in enumerate(offsets):
+                chunk = table.slice(off, rows_per_file)
+                # combine_chunks: a slice otherwise serializes its parent buffers
+                pq.write_table(chunk.combine_chunks(), os.path.join(d, f"part-{i:05d}.parquet"))
+        return d
 
     def read_epoch_table(self, group: str, epoch: int) -> pa.Table | None:
         path = self._epoch_file(group, epoch)

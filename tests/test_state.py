@@ -102,3 +102,18 @@ def test_checkpoint_store(tmp_path):
     d = store.docs_epoch_dir(0)
     assert "epoch=0" in d
     assert store.docs_dirs() == [d]
+
+
+def test_bloom_shard_within_batch_dedup(ray_session):
+    """Regression: bloom-only check_and_add must not report duplicate URLs
+    within one call as fresh (add_batch tests before setting bits)."""
+    import ray as _ray
+
+    from crawl4ai_ray.stages.seen import SeenShard
+
+    shard = SeenShard.remote(0, 1000, 0.01, False)  # exact=False → bloom only
+    fresh = _ray.get(shard.check_and_add.remote(["a", "b", "a", "c", "b"]))
+    assert fresh.tolist() == [True, True, False, True, False]
+    fresh2 = _ray.get(shard.check_and_add.remote(["a", "d"]))
+    assert fresh2.tolist() == [False, True]
+    _ray.kill(shard)
