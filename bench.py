@@ -49,7 +49,7 @@ def crawl_headline(num_cpus: int, scale: float) -> dict:
         heavy_factor=4,
         branch=64,   # wide tree → few BFS epochs (per-epoch launch overhead
         #              is the Amdahl term on a single noisy VM)
-        extra_links=2,
+        extra_links=0,  # pure tree: no long tail of near-empty epochs
         seed=42,
         private_every=23,
         n_paras_min=50,

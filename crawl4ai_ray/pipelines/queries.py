@@ -653,6 +653,99 @@ def media_catalog(sf_dir: str):
     return decoded.map_batches(_flatten_meta, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ----------------------------------------------------------- chunk/extract
+
+def chunks_fixed(sf_dir: str, chunk_size: int = 50):
+    """FixedLengthWordChunking over documents → (doc_id, chunk_idx, chunk)
+    (reference chunking_strategy.py:148-170; flat_map shape)."""
+    from ..functions.chunking import ChunkStage, FixedLengthWordChunking
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        ChunkStage,
+        fn_constructor_kwargs=dict(
+            chunker_factory=lambda: FixedLengthWordChunking(chunk_size)
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        zero_copy_batch=True,
+    )
+
+
+def regex_numbers_events(sf_dir: str):
+    """RegexExtractionStrategy 'number' catalog over events.props
+    (extraction_strategy.py:1945-2114)."""
+    from ..functions.regex_extract import RegexExtractStage
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    out = ds.map_batches(
+        RegexExtractStage,
+        fn_constructor_kwargs=dict(
+            labels=["number"], id_col="event_id", text_col="props"
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        zero_copy_batch=True,
+    )
+
+    def _project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b.column("doc_id"), "value": b.column("value")}
+        )
+
+    return out.map_batches(_project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def structured_roundtrip(sf_dir: str):
+    """Schema-driven JsonCss extraction round-trip: render part rows to HTML,
+    extract them back with a CSS schema — value-exact vs the source table."""
+    import json
+
+    from ..functions.structured_extract import JsonCssExtractor
+
+    schema = {
+        "baseSelector": "div.part",
+        "fields": [
+            {"name": "name", "selector": "h2.name", "type": "text"},
+            {"name": "brand", "selector": "span.brand", "type": "text"},
+            {"name": "p_size", "selector": "span.size", "type": "regex", "pattern": r"size:(\d+)"},
+        ],
+    }
+    ds = _read(sf_dir, "part", columns=["p_name", "p_brand", "p_size"])
+
+    def _render_and_extract(b: pa.Table) -> pa.Table:
+        extractor = JsonCssExtractor(schema)
+        html = "".join(
+            f'<div class="part"><h2 class="name">{n}</h2>'
+            f'<span class="brand">{br}</span><span class="size">size:{s}</span></div>'
+            for n, br, s in zip(
+                b.column("p_name").to_pylist(),
+                b.column("p_brand").to_pylist(),
+                b.column("p_size").to_pylist(),
+            )
+        )
+        items = extractor.extract(html)
+        return pa.table(
+            {
+                "name": pa.array([i["name"] for i in items], type=pa.string()),
+                "brand": pa.array([i["brand"] for i in items], type=pa.string()),
+                "p_size": pa.array([int(i["p_size"]) for i in items], type=pa.int32()),
+            }
+        )
+
+    return ds.map_batches(_render_and_extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bm25_rank_docs(sf_dir: str, query: str = "stream batch merge sort"):
+    """Corpus-level BM25 (barrier aggregation: DF stats combined then
+    broadcast — SURVEY.md §2.7) over documents (rows-only: Okapi floor
+    semantics aren't SQL-expressible)."""
+    from ..functions.bm25 import bm25_rank_dataset
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_rank_dataset(ds, query)
+
+
 # -------------------------------------------------------------------- crawl
 
 def crawl_bfs_demo(sf_dir: str):
@@ -720,6 +813,10 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "spans_flat": spans_flat,
     "media_catalog": media_catalog,
+    "chunks_fixed": chunks_fixed,
+    "regex_numbers_events": regex_numbers_events,
+    "structured_roundtrip": structured_roundtrip,
+    "bm25_rank_docs": bm25_rank_docs,
     "crawl_bfs_demo": crawl_bfs_demo,
 }
 
@@ -840,7 +937,26 @@ ORACLE_SQL = {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.3
     """,
-    # langid_predict / doc_fingerprint_rolling / simhash_docs /
+    "chunks_fixed": r"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(u.gs AS INTEGER) AS chunk_idx,
+               array_to_string(words[u.gs * 50 + 1 : u.gs * 50 + 50], ' ') AS chunk
+        FROM w, UNNEST(range(CAST(ceil(len(words) / 50.0) AS BIGINT))) AS u(gs)
+    """,
+    "regex_numbers_events": r"""
+        SELECT event_id,
+               unnest(regexp_extract_all(props, '\b\d{1,3}(?:[,.\s]\d{3})*(?:\.\d+)?\b')) AS value
+        FROM events
+    """,
+    "structured_roundtrip": """
+        SELECT p_name AS name, p_brand AS brand, p_size FROM part
+    """,
+    # bm25_rank_docs / langid_predict / doc_fingerprint_rolling / simhash_docs /
     # minhash_neardup_pairs / knn_cosine_lsh / spans_flat / media_catalog /
     # crawl_bfs_demo: no SQL equivalent (model scorers, custom hashes, LSH,
     # stateful crawl) — rows-only check by design.

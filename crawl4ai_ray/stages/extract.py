@@ -559,3 +559,48 @@ def enrich_batch(batch: pa.Table) -> pa.Table:
         )
         .append_column("minhash_sig", pa.array(minhashes, type=pa.binary()))
     )
+
+
+def extract_tables(root: Node, min_rows: int = 1) -> list[dict]:
+    """Data-table extraction — record shape parity with the reference's
+    table extractor (/root/reference/crawl4ai/table_extraction.py:290-296):
+    {headers, rows, caption, summary, metadata{row_count, column_count,
+    has_headers}} per <table>."""
+    tables = []
+    for node in root.iter():
+        if node.tag != "table":
+            continue
+        headers: list[str] = []
+        rows: list[list[str]] = []
+        caption = ""
+        summary = node.get("summary", "") or ""
+        for el in node.iter():
+            if el.tag == "caption":
+                caption = _WS_RE.sub(" ", el.text_content()).strip()
+        for tr in (el for el in node.iter() if el.tag == "tr"):
+            cells = [
+                c for c in tr.children
+                if not isinstance(c, str) and c.tag in ("td", "th")
+            ]
+            if not cells:
+                continue
+            values = [_WS_RE.sub(" ", c.text_content()).strip() for c in cells]
+            if not headers and all(c.tag == "th" for c in cells):
+                headers = values
+            else:
+                rows.append(values)
+        if len(rows) >= min_rows:
+            tables.append(
+                {
+                    "headers": headers,
+                    "rows": rows,
+                    "caption": caption,
+                    "summary": summary,
+                    "metadata": {
+                        "row_count": len(rows),
+                        "column_count": len(headers) or (len(rows[0]) if rows else 0),
+                        "has_headers": bool(headers),
+                    },
+                }
+            )
+    return tables

@@ -1,0 +1,191 @@
+"""Tests for the second operator wave: regex extraction, chunkers, BM25,
+JsonCSS structured extraction, fit_html, citations, tables."""
+
+import pytest
+
+from crawl4ai_ray.functions.bm25 import BM25Okapi, normalized_bm25
+from crawl4ai_ray.functions.chunking import (
+    FixedLengthWordChunking,
+    IdentityChunking,
+    OverlappingWindowChunking,
+    RegexChunking,
+    SentenceChunking,
+    SlidingWindowChunking,
+    TopicSegmentationChunking,
+)
+from crawl4ai_ray.functions.fit_html import fit_html, head_fingerprint
+from crawl4ai_ray.functions.markdown import convert_links_to_citations
+from crawl4ai_ray.functions.regex_extract import RegexExtractor
+from crawl4ai_ray.functions.structured_extract import JsonCssExtractor, select
+from crawl4ai_ray.stages.extract import extract_tables, parse_dom
+
+
+# ------------------------------------------------------------------ regex
+def test_regex_extractor_catalog():
+    text = (
+        "Contact a@b.com or visit https://x.com/page. "
+        "IP 192.168.0.1, born 2023-05-01, 42.5% done, color #a1b2c3."
+    )
+    ex = RegexExtractor(labels=["email", "url", "ipv4", "date_iso", "percentage", "html_color_hex"])
+    got = {(r["label"], r["value"]) for r in ex.extract("u", text)}
+    assert ("email", "a@b.com") in got
+    assert ("url", "https://x.com/page.") in got  # greedy-to-whitespace, reference quirk
+    assert ("ipv4", "192.168.0.1") in got
+    assert ("date_iso", "2023-05-01") in got
+    assert ("percentage", "42.5%") in got
+    assert ("html_color_hex", "#a1b2c3") in got
+
+
+def test_regex_extractor_spans_and_custom():
+    ex = RegexExtractor(labels=[], custom={"word": r"\bcat\b"})
+    out = ex.extract("u", "the cat sat")
+    assert out == [
+        {"url": "u", "label": "word", "value": "cat", "span_start": 4, "span_end": 7}
+    ]
+
+
+# --------------------------------------------------------------- chunkers
+def test_chunkers():
+    text = "one two three four five six seven eight nine ten"
+    assert IdentityChunking().chunk(text) == [text]
+    assert RegexChunking().chunk("a\n\nb") == ["a", "b"]
+    assert FixedLengthWordChunking(4).chunk(text) == [
+        "one two three four", "five six seven eight", "nine ten",
+    ]
+    sw = SlidingWindowChunking(window_size=4, step=2).chunk(text)
+    assert sw[0] == "one two three four" and sw[1] == "three four five six"
+    assert sw[-1] == "seven eight nine ten"
+    ow = OverlappingWindowChunking(window_size=4, overlap=1).chunk(text)
+    assert ow[0] == "one two three four"
+    assert ow[1].startswith("four")
+    sents = SentenceChunking().chunk("Hello there. How are you? Fine!")
+    assert "Hello there." in sents and "How are you?" in sents
+    topics = TopicSegmentationChunking().chunk("p1\n\np2\n\np3\n\np4")
+    assert topics == ["p1\n\np2\n\np3", "p4"]
+
+
+# ------------------------------------------------------------------- BM25
+def test_bm25_ranks_relevant_docs_higher():
+    corpus = [
+        "the cat sat on the mat",
+        "dogs chase cats in the park",
+        "stock markets fell sharply today",
+    ]
+    scores = BM25Okapi([d.split() for d in corpus]).get_scores(["cat", "mat"])
+    assert scores[0] > scores[1] >= 0
+    assert scores[2] == 0.0
+
+
+def test_normalized_bm25_seeder_semantics():
+    docs = ["alpha beta", "alpha beta", "alpha beta"]
+    assert normalized_bm25("alpha", docs) == [0.5, 0.5, 0.5]  # all-equal → 0.5
+    assert normalized_bm25("", docs) == [0.0, 0.0, 0.0]
+    scores = normalized_bm25(
+        "cat", ["cat cat likes mice", "a dog barks loudly", "birds fly high", "fish swim deep"]
+    )
+    assert max(scores) == 1.0 and min(scores) == 0.0
+    assert scores[0] == 1.0
+
+
+# ---------------------------------------------------------------- JsonCSS
+PRODUCT_HTML = """
+<div id="page">
+  <div class="product" data-sku="s1">
+    <h2 class="name">Widget A</h2>
+    <span class="price">$10.00</span>
+    <ul><li class="tag">red</li><li class="tag">small</li></ul>
+  </div>
+  <div class="product" data-sku="s2">
+    <h2 class="name">Widget B</h2>
+    <span class="price">$20.00</span>
+    <ul><li class="tag">blue</li></ul>
+  </div>
+</div>
+"""
+
+SCHEMA = {
+    "baseSelector": "div.product",
+    "baseFields": [{"name": "sku", "type": "attribute", "attribute": "data-sku"}],
+    "fields": [
+        {"name": "name", "selector": "h2.name", "type": "text", "transform": "lowercase"},
+        {"name": "price", "selector": "span.price", "type": "regex", "pattern": r"\$([\d.]+)"},
+        {"name": "tags", "selector": "li.tag", "type": "list",
+         "fields": [{"name": "tag", "type": "text"}]},
+        {"name": "n_tags", "type": "computed", "expression": "len(tags)"},
+    ],
+}
+
+
+def test_jsoncss_extraction():
+    items = JsonCssExtractor(SCHEMA).extract(PRODUCT_HTML)
+    assert len(items) == 2
+    assert items[0] == {
+        "sku": "s1", "name": "widget a", "price": "10.00",
+        "tags": [{"tag": "red"}, {"tag": "small"}], "n_tags": 2,
+    }
+    assert items[1]["name"] == "widget b" and items[1]["n_tags"] == 1
+
+
+def test_css_select_engine():
+    root = parse_dom(PRODUCT_HTML)
+    assert len(select(root, "div.product")) == 2
+    assert len(select(root, "#page > div.product")) == 2
+    assert len(select(root, "li.tag")) == 3
+    assert len(select(root, "div.product h2")) == 2
+    assert len(select(root, "[data-sku=s2]")) == 1
+    assert len(select(root, "h2.name, span.price")) == 4
+    assert select(root, "div.missing") == []
+
+
+# --------------------------------------------------------------- fit_html
+def test_fit_html():
+    html = (
+        "<html><head><title>T</title><script>x</script></head>"
+        '<body><div class="c" style="color:red" onclick="x()">'
+        + "long text " * 30
+        + '</div><div class="c">'
+        + "long text " * 30
+        + "</div><svg>vector</svg></body></html>"
+    )
+    out = fit_html(html, text_threshold=50)
+    assert "<script>" not in out and "<svg>" not in out and "<title>" not in out
+    assert "style=" not in out and "onclick=" not in out
+    assert 'class="c"' in out
+    assert "..." in out  # text truncated
+    # duplicate classed element with identical text dropped (first wins)
+    assert out.count('<div class="c">') == 1
+
+
+def test_head_fingerprint_stable_and_sensitive():
+    a = "<html><head><title>A</title><meta name='d' content='x'></head><body>b</body></html>"
+    b = "<html><head><title>A</title><meta name='d' content='y'></head><body>zzz</body></html>"
+    assert head_fingerprint(a) == head_fingerprint(a)
+    assert head_fingerprint(a) != head_fingerprint(b)  # head change detected
+    c = "<html><head><title>A</title><meta name='d' content='x'></head><body>other</body></html>"
+    assert head_fingerprint(a) == head_fingerprint(c)  # body-only change ignored
+
+
+# -------------------------------------------------------------- citations
+def test_citations():
+    md = "See [docs](https://x.com/d) and [docs again](https://x.com/d) and ![img](/i.png)"
+    converted, refs = convert_links_to_citations(md, "http://base.test/p/")
+    assert "docs⟨1⟩" in converted and "docs again⟨1⟩" in converted  # stable id
+    assert "![img⟨2⟩]" in converted
+    assert "⟨1⟩ https://x.com/d" in refs
+    assert "⟨2⟩ http://base.test/i.png" in refs  # relative joined on base
+
+
+# ----------------------------------------------------------------- tables
+def test_table_extraction():
+    html = (
+        "<table><caption>Sales</caption>"
+        "<tr><th>Region</th><th>Total</th></tr>"
+        "<tr><td>EU</td><td>10</td></tr><tr><td>US</td><td>20</td></tr></table>"
+    )
+    tables = extract_tables(parse_dom(html))
+    assert len(tables) == 1
+    t = tables[0]
+    assert t["headers"] == ["Region", "Total"]
+    assert t["rows"] == [["EU", "10"], ["US", "20"]]
+    assert t["caption"] == "Sales"
+    assert t["metadata"] == {"row_count": 2, "column_count": 2, "has_headers": True}
