@@ -746,6 +746,47 @@ def bm25_rank_docs(sf_dir: str, query: str = "stream batch merge sort"):
     return bm25_rank_dataset(ds, query)
 
 
+def seeder_sitemap_demo(sf_dir: str):
+    """AsyncUrlSeeder-equivalent pipeline over synthetic sitemaps: discovery
+    + nonsense/pattern gate + BM25 relevance ranking (rows-only)."""
+    from ..sources.corpus import CorpusParams
+    from ..sources.seeder import SyntheticSitemapTransport, seed_urls
+
+    params = CorpusParams(n_hosts=4, pages_per_host=300, seed=42)
+    t = SyntheticSitemapTransport(params, chunk=120)
+    return seed_urls(
+        [params.host(i) for i in range(params.n_hosts)],
+        t,
+        pattern="*/p/*",
+        query="synthetic crawl page",
+        max_urls=100,
+    )
+
+
+def adaptive_digest_demo(sf_dir: str):
+    """Adaptive crawl digest (statistical strategy port) on the synthetic
+    corpus → per-round metrics table (rows-only)."""
+    from ..sources.corpus import CorpusParams, SyntheticTransport
+    from .adaptive import AdaptiveCrawler, AdaptiveConfig
+
+    params = CorpusParams(n_hosts=2, pages_per_host=50, seed=42)
+    crawler = AdaptiveCrawler(
+        SyntheticTransport(params),
+        query="crawl frontier data stream",
+        config=AdaptiveConfig(max_pages=12, top_k_links=3, confidence_threshold=0.9),
+    )
+    out = crawler.digest("http://site0.test/")
+    return pa.table(
+        {
+            "rank": pa.array(range(len(out["crawl_order"])), type=pa.int32()),
+            "url": pa.array(out["crawl_order"], type=pa.string()),
+            "confidence": pa.array(
+                [round(out["confidence"], 4)] * len(out["crawl_order"]), type=pa.float64()
+            ),
+        }
+    )
+
+
 # -------------------------------------------------------------------- crawl
 
 def crawl_bfs_demo(sf_dir: str):
@@ -817,6 +858,8 @@ QUERIES = {
     "regex_numbers_events": regex_numbers_events,
     "structured_roundtrip": structured_roundtrip,
     "bm25_rank_docs": bm25_rank_docs,
+    "seeder_sitemap_demo": seeder_sitemap_demo,
+    "adaptive_digest_demo": adaptive_digest_demo,
     "crawl_bfs_demo": crawl_bfs_demo,
 }
 
