@@ -1028,4 +1028,11 @@ class CrawlEngine:
         dirs = self.store.docs_dirs()
         if not dirs:
             return None
-        return ray.data.read_parquet(dirs)
+        # read_parquet treats LIST entries as files, not dirs — expand
+        files = [
+            os.path.join(d, f)
+            for d in dirs
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        return ray.data.read_parquet(files)
