@@ -292,3 +292,53 @@ def test_dfs_order(tmp_path, ray_session):
     i1, i4 = urls.index("http://site0.test/p/1"), urls.index("http://site0.test/p/4")
     i2 = urls.index("http://site0.test/p/2")
     assert i1 < i4 < i2  # child 1, its first child (4), before sibling 2
+
+
+def test_scale_mode_kill_resume(tmp_path, ray_session):
+    """Scale path resume: frontier part dirs double as seen deltas; a fresh
+    engine rebuilds the bloom shards from them and finishes the crawl
+    without re-fetching."""
+    params = CorpusParams(n_hosts=2, pages_per_host=40, seed=11, branch=4)
+    base = dict(
+        max_depth=8, num_seen_shards=2, num_politeness_shards=1,
+        fetch_batch_size=16, deterministic=False, exact_seen=False,
+    )
+    eng_full, _ = _run_engine(tmp_path, params, CrawlConfig(**base), name="sfull")
+    full_urls = sorted(_docs_table(eng_full).column("url").to_pylist())
+
+    eng_a, _ = _run_engine(
+        tmp_path, params, CrawlConfig(**base, max_epochs=2), name="sres"
+    )
+    assert eng_a.store.read_manifest()["epoch"] == 1
+    eng_b, _ = _run_engine(
+        tmp_path, params, CrawlConfig(**base), name="sres", resume=True
+    )
+    resumed = _docs_table(eng_b).column("url").to_pylist()
+    assert sorted(resumed) == full_urls
+    assert len(resumed) == len(set(resumed))  # no URL fetched twice
+    assert any(g >= 1 for g in eng_b.seen.generations())  # bloom gen bumped
+
+
+def test_politeness_spacing_under_concurrent_fetchers(ray_session):
+    """The salted-fetch design (SURVEY §7.4.3): many concurrent fetch tasks
+    may hit one heavy host, but the owning politeness shard's grants keep
+    per-host starts spaced by current_delay."""
+    import ray as _ray
+
+    from crawl4ai_ray.stages.politeness import PolitenessShard
+
+    shard = PolitenessShard.remote(
+        0, None, base_delay=(0.05, 0.05), max_delay=1.0, max_retries=3, seed=1
+    )
+    # simulate 4 concurrent fetch tasks each asking for 5 URLs of the heavy host
+    refs = [
+        shard.acquire.remote(["heavy.test"] * 5, [f"http://heavy.test/p/{i}_{j}" for j in range(5)])
+        for i in range(4)
+    ]
+    grants = [g for batch in _ray.get(refs) for g in batch]
+    starts = sorted(s for ok, s in grants if ok)
+    assert len(starts) == 20
+    gaps = [b - a for a, b in zip(starts, starts[1:])]
+    # first grant is immediate; every later one spaced by ≥ base_delay (within fp tolerance)
+    assert all(g >= 0.05 - 1e-6 for g in gaps[1:])
+    _ray.kill(shard)
