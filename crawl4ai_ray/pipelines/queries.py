@@ -746,6 +746,37 @@ def bm25_rank_docs(sf_dir: str, query: str = "stream batch merge sort"):
     return bm25_rank_dataset(ds, query)
 
 
+def fit_markdown_demo(sf_dir: str):
+    """Pruning + BM25 content filters over synthetic pages → fit_markdown
+    lengths (rows-only; reference content_filter_strategy.py semantics)."""
+    from ..functions.content_filter import BM25ContentFilter, PruningContentFilter
+    from ..sources.corpus import CorpusParams, page_url, synthesize_html
+
+    params = CorpusParams(n_hosts=2, pages_per_host=60, seed=42)
+    items = [
+        {"url": page_url(params, h, p), "html": synthesize_html(params, h, p)}
+        for h in range(2)
+        for p in range(1, 60)
+    ]
+    ds = ray.data.from_items(items)
+
+    def _filter(b: pa.Table) -> pa.Table:
+        prune = PruningContentFilter(threshold=0.3)
+        bm25 = BM25ContentFilter()
+        htmls = b.column("html").to_pylist()
+        pruned = ["\n\n".join(prune.filter_content(h)) for h in htmls]
+        relevant = ["\n\n".join(bm25.filter_content(h)) for h in htmls]
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "pruned_len": pa.array([len(p) for p in pruned], type=pa.int64()),
+                "bm25_len": pa.array([len(r) for r in relevant], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def seeder_sitemap_demo(sf_dir: str):
     """AsyncUrlSeeder-equivalent pipeline over synthetic sitemaps: discovery
     + nonsense/pattern gate + BM25 relevance ranking (rows-only)."""
@@ -858,6 +889,7 @@ QUERIES = {
     "regex_numbers_events": regex_numbers_events,
     "structured_roundtrip": structured_roundtrip,
     "bm25_rank_docs": bm25_rank_docs,
+    "fit_markdown_demo": fit_markdown_demo,
     "seeder_sitemap_demo": seeder_sitemap_demo,
     "adaptive_digest_demo": adaptive_digest_demo,
     "crawl_bfs_demo": crawl_bfs_demo,

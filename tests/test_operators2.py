@@ -189,3 +189,52 @@ def test_table_extraction():
     assert t["rows"] == [["EU", "10"], ["US", "20"]]
     assert t["caption"] == "Sales"
     assert t["metadata"] == {"row_count": 2, "column_count": 2, "has_headers": True}
+
+
+# ---------------------------------------------------------- content filters
+def test_pruning_filter_drops_boilerplate():
+    from crawl4ai_ray.functions.content_filter import PruningContentFilter
+
+    html = (
+        "<html><body>"
+        '<nav class="nav">Home About Contact Login</nav>'
+        "<article><p>"
+        + "Substantial relevant paragraph with a good amount of meaningful text content here. " * 4
+        + "</p></article>"
+        '<div class="sidebar-ads"><a href="/x">ad one</a> <a href="/y">ad two</a></div>'
+        "<footer>copyright footer text</footer>"
+        "</body></html>"
+    )
+    blocks = PruningContentFilter().filter_content(html)
+    joined = " ".join(blocks)
+    assert "meaningful text content" in joined
+    assert "copyright footer" not in joined  # excluded tag
+    assert "Home About Contact" not in joined  # excluded tag
+
+
+def test_bm25_filter_keeps_relevant_blocks():
+    from crawl4ai_ray.functions.content_filter import BM25ContentFilter
+
+    html = (
+        "<html><head><title>ray data streaming engine</title></head><body>"
+        "<p>The ray data streaming engine processes arrow batches efficiently today.</p>"
+        "<p>Totally unrelated cooking recipe about tomato soup and basil leaves garnish.</p>"
+        "<h2>streaming engine internals overview</h2>"
+        "</body></html>"
+    )
+    kept = BM25ContentFilter().filter_content(html)
+    joined = " ".join(kept)
+    assert "arrow batches" in joined
+    assert "tomato soup" not in joined
+    # headers get priority-tag boost
+    assert any("internals" in k for k in kept)
+
+
+def test_page_query_fallbacks():
+    from crawl4ai_ray.functions.content_filter import extract_page_query
+    from crawl4ai_ray.stages.extract import parse_dom
+
+    q = extract_page_query(
+        parse_dom("<head><title>T</title><meta name='keywords' content='k1 k2'></head><body><h1>H</h1></body>")
+    )
+    assert q == "T H k1 k2"
