@@ -118,3 +118,91 @@ def oracle_bfs(
         current = next_level
         epoch += 1
     return results, visited
+
+
+def oracle_best_first(
+    transport,
+    robots_bodies,
+    seeds,
+    max_depth,
+    max_pages=INF,
+    scorer=None,
+    filter_chain=None,
+    include_external=False,
+    batch_size=10,
+):
+    """Sequential oracle for Best-First (bff_strategy.py:139-269): global
+    priority queue (-score, depth, seq), visited-at-pop, NO score threshold
+    in link_discovery, mid-batch stop at max_pages; batch results processed
+    in batch order (our deterministic merge rule)."""
+    import heapq
+
+    robots = RobotsGate(robots_bodies)
+    heap = []
+    seq = 0
+    visited = set()
+    depths = {}
+    for s in seeds:
+        canon = normalize_url_for_deep_crawl(s, s)
+        if canon and is_valid_frontier_url(canon):
+            score = scorer.score(canon) if scorer else 0.0
+            heapq.heappush(heap, (-score, 0, seq, canon, None))
+            depths[canon] = 0
+            seq += 1
+    results = []
+    pages_crawled = 0
+    batch_idx = 0
+    while heap and pages_crawled < max_pages:
+        batch = []
+        for _ in range(batch_size):
+            if not heap:
+                break
+            neg, depth, _, url, parent = heapq.heappop(heap)
+            if url in visited:
+                continue
+            visited.add(url)
+            batch.append((url, depth, parent))
+        if not batch:
+            continue
+        stop = False
+        for rank, (url, depth, parent) in enumerate(batch):
+            host = host_of(url)
+            if not robots.can_fetch(host, url):
+                status, html = 403, ""
+            else:
+                status, html = transport.fetch(url)
+            success = status == 200
+            results.append(
+                {"url": url, "depth": depth, "parent_url": parent,
+                 "status_code": status, "success": success, "epoch": batch_idx,
+                 "rank_in_epoch": rank}
+            )
+            if not success:
+                continue
+            pages_crawled += 1
+            if pages_crawled >= max_pages:
+                stop = True
+                break
+            next_depth = depth + 1
+            if next_depth > max_depth:
+                continue
+            if max_pages - pages_crawled <= 0:
+                continue
+            page = extract_page(html, url)
+            links = list(page["internal_links"])
+            if include_external:
+                links += page["external_links"]
+            for link in links:
+                norm = normalize_url_for_deep_crawl(link["href"], url)
+                if not norm or norm in visited:
+                    continue
+                if not _can_process(link["href"], next_depth, filter_chain):
+                    continue
+                depths[norm] = next_depth
+                score = scorer.score(norm) if scorer else 0.0
+                heapq.heappush(heap, (-score, next_depth, seq, norm, url))
+                seq += 1
+        batch_idx += 1
+        if stop:
+            break
+    return results, visited

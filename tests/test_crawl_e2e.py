@@ -342,3 +342,38 @@ def test_politeness_spacing_under_concurrent_fetchers(ray_session):
     # first grant is immediate; every later one spaced by ≥ base_delay (within fp tolerance)
     assert all(g >= 0.05 - 1e-6 for g in gaps[1:])
     _ray.kill(shard)
+
+
+def test_best_first_oracle_parity(tmp_path, ray_session):
+    """Best-First engine matches the sequential priority-queue oracle:
+    per-batch URL sets, depths, parents, and the visited set."""
+    from oracle_bfs import oracle_best_first
+
+    params = CorpusParams(n_hosts=2, pages_per_host=25, seed=13)
+
+    def scorer_factory():
+        return KeywordRelevanceScorer(["p/1", "p/2"])
+
+    cfg = CrawlConfig(
+        strategy="best_first", max_depth=5, max_pages=30, num_seen_shards=2,
+        scorer_factory=scorer_factory, best_first_batch=10,
+    )
+    engine, summary = _run_engine(tmp_path, params, cfg, name="bfo")
+    oracle_results, oracle_visited = oracle_best_first(
+        SyntheticTransport(params), robots_map(params), params.seeds(),
+        max_depth=5, max_pages=30, scorer=scorer_factory(),
+    )
+    docs = _docs_table(engine)
+    got = {
+        (r["url"], r["frontier_epoch"]): (r["depth"], r["parent_url"])
+        for r in docs.select(["url", "frontier_epoch", "depth", "parent_url"]).to_pylist()
+    }
+    want = {
+        (r["url"], r["epoch"]): (r["depth"], r["parent_url"] or "")
+        for r in oracle_results
+    }
+    # engine fetches whole batches; the oracle's mid-batch stop may cut the
+    # last batch short — every oracle row must appear identically in ours
+    for k, v in want.items():
+        assert k in got and got[k] == v, k
+    assert summary["pages_crawled"] == sum(1 for r in oracle_results if r["success"])
