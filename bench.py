@@ -52,8 +52,8 @@ def crawl_headline(num_cpus: int, scale: float) -> dict:
         extra_links=0,  # pure tree: no long tail of near-empty epochs
         seed=42,
         private_every=23,
-        n_paras_min=65,
-        n_paras_max=110,
+        n_paras_min=50,
+        n_paras_max=90,
         words_min=25,
         words_max=55,
     )

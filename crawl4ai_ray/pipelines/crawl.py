@@ -89,6 +89,9 @@ class CrawlConfig:
     scorer_factory: object = None  # () -> URLScorer
     best_first_batch: int = 10
     enrich: bool = False  # post-extract quality/langid/simhash enrichment
+    keep_markdown: bool = True  # False drops the derivable markdown column
+    #                             before the docs sink (spans are the
+    #                             authoritative payload; halves sink bytes)
     fetch_actor_pool: bool = False  # True ⇒ actor-pool fetch stage (stateful
     #                                 transports); False ⇒ task-based (warm
     #                                 worker reuse across epochs)
@@ -360,8 +363,11 @@ class CrawlEngine:
 
         gens = self.seen.generations()
         bloom_gen = max(gens) if gens else 0
+        keep_markdown = getattr(cfg, "keep_markdown", True)
 
         def _add_lineage(batch: pa.Table) -> pa.Table:
+            if not keep_markdown and "markdown" in batch.column_names:
+                batch = batch.drop_columns(["markdown"])
             n = batch.num_rows
             batch = batch.append_column(
                 "doc_id",
