@@ -377,3 +377,69 @@ def test_best_first_oracle_parity(tmp_path, ray_session):
     for k, v in want.items():
         assert k in got and got[k] == v, k
     assert summary["pages_crawled"] == sum(1 for r in oracle_results if r["success"])
+
+
+def test_salt_heavy_hosts(ray_session):
+    """Skew handling: a hot host's frontier rows spread across salt_k shards
+    while cold hosts keep their home shard; politeness routing (by unsalted
+    host hash) is unaffected."""
+    import numpy as np
+
+    from crawl4ai_ray.hashing import h64
+    from crawl4ai_ray.pipelines.crawl import _frontier_table
+    from crawl4ai_ray.stages.partition import salt_heavy_hosts, shard_histogram
+
+    num_shards = 16
+    rows = [
+        {"url": f"http://hot.test/p/{i}", "depth": 1, "parent_url": None, "score": 0.0}
+        for i in range(5000)
+    ] + [
+        {"url": f"http://cold{j}.test/p/{i}", "depth": 1, "parent_url": None, "score": 0.0}
+        for j in range(5)
+        for i in range(50)
+    ]
+    frontier = _frontier_table(rows, 1, num_shards)
+    before = shard_histogram(frontier, num_shards)
+    assert before.max() >= 5000  # hot host serialized on one shard
+    salted = salt_heavy_hosts(frontier, num_shards, threshold=1000, salt_k=8)
+    after = shard_histogram(salted, num_shards)
+    assert after.max() < 5000  # spread out
+    # hot rows occupy ~8 salted shards, each ~5000/8
+    hot_mask = np.array([h == "hot.test" for h in salted.column("host").to_pylist()])
+    hot_shards = np.asarray(salted.column("shard_id").to_numpy(zero_copy_only=False))[hot_mask]
+    assert len(set(hot_shards.tolist())) == 8
+    counts = np.bincount(hot_shards, minlength=num_shards)
+    assert counts[counts > 0].min() >= 5000 // 8 - 1
+    # cold hosts untouched (home shard)
+    for j in range(5):
+        host = f"cold{j}.test"
+        mask = np.array([h == host for h in salted.column("host").to_pylist()])
+        sids = set(np.asarray(salted.column("shard_id").to_numpy(zero_copy_only=False))[mask].tolist())
+        assert sids == {h64(host) % num_shards}
+    # determinism
+    again = salt_heavy_hosts(frontier, num_shards, threshold=1000, salt_k=8)
+    assert salted.column("shard_id").to_pylist() == again.column("shard_id").to_pylist()
+
+
+def test_partition_by_host_groups(ray_session):
+    import ray.data
+
+    from crawl4ai_ray.hashing import h64
+    from crawl4ai_ray.stages.partition import partition_by_host
+
+    rows = [
+        {"host": f"h{i % 4}.test", "url": f"http://h{i % 4}.test/p/{i}"}
+        for i in range(40)
+    ]
+    grouped = partition_by_host(ray.data.from_items(rows), num_shards=8)
+
+    def _audit(group: pa.Table) -> pa.Table:
+        hosts = set(group.column("host").to_pylist())
+        sids = set(group.column("shard_id").to_pylist())
+        assert len(sids) == 1
+        sid = sids.pop()
+        assert all(h64(h) % 8 == sid for h in hosts)
+        return pa.table({"shard_id": [sid], "n": [group.num_rows]})
+
+    out = grouped.map_groups(_audit, batch_format="pyarrow").take_all()
+    assert sum(r["n"] for r in out) == 40
