@@ -443,3 +443,23 @@ def test_partition_by_host_groups(ray_session):
 
     out = grouped.map_groups(_audit, batch_format="pyarrow").take_all()
     assert sum(r["n"] for r in out) == 40
+
+
+def test_fetch_actor_pool_mode(tmp_path, ray_session):
+    """The actor-pool fetch stage (stateful-transport form) produces the
+    same crawl as the task-based default."""
+    params = CorpusParams(n_hosts=2, pages_per_host=15, seed=4)
+    a, _ = _run_engine(
+        tmp_path, params,
+        CrawlConfig(max_depth=4, num_seen_shards=2, deterministic=True),
+        name="tasks",
+    )
+    b, _ = _run_engine(
+        tmp_path, params,
+        CrawlConfig(max_depth=4, num_seen_shards=2, deterministic=True,
+                    fetch_actor_pool=True, fetch_concurrency=2),
+        name="actors",
+    )
+    ta = sorted((r["url"], r["frontier_epoch"]) for r in _docs_table(a).select(["url", "frontier_epoch"]).to_pylist())
+    tb = sorted((r["url"], r["frontier_epoch"]) for r in _docs_table(b).select(["url", "frontier_epoch"]).to_pylist())
+    assert ta == tb
