@@ -16,9 +16,9 @@ import pyarrow.compute as pc
 from ..hashing import h64
 from ..urlnorm import (
     get_base_domain,
-    host_of,
+    host_of_cached as host_of,
     is_valid_frontier_url,
-    normalize_url_for_deep_crawl,
+    normalize_url_for_deep_crawl_cached as normalize_url_for_deep_crawl,
 )
 
 

@@ -31,7 +31,7 @@ from html.parser import HTMLParser
 import numpy as np
 import pyarrow as pa
 
-from ..urlnorm import get_base_domain, is_external_url, normalize_url
+from ..urlnorm import get_base_domain, is_external_url, normalize_url, normalize_url_cached
 
 IMAGE_SCORE_THRESHOLD = 2  # config.py:94
 IMAGE_DESCRIPTION_MIN_WORD_THRESHOLD = 1  # config.py:48
@@ -82,20 +82,33 @@ class Node:
                 yield from c.iter()
 
 
+_INDEXED_TAGS = frozenset("a img video audio meta title table".split())
+
+
 class _DomBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Node("#root", {}, None)
         self._cur = self.root
+        # document-order index of interesting elements, filled during the
+        # parse so extraction passes don't re-traverse the whole tree
+        self.index: dict = {t: [] for t in _INDEXED_TAGS}
+
+    def _register(self, node):
+        if node.tag in _INDEXED_TAGS:
+            self.index[node.tag].append(node)
 
     def handle_starttag(self, tag, attrs):
         node = Node(tag, dict(attrs), self._cur)
         self._cur.children.append(node)
+        self._register(node)
         if tag not in VOID_TAGS:
             self._cur = node
 
     def handle_startendtag(self, tag, attrs):
-        self._cur.children.append(Node(tag, dict(attrs), self._cur))
+        node = Node(tag, dict(attrs), self._cur)
+        self._cur.children.append(node)
+        self._register(node)
 
     def handle_endtag(self, tag):
         # close nearest open ancestor with this tag (tolerates bad nesting)
@@ -118,6 +131,18 @@ def parse_dom(html: str) -> Node:
     except Exception:
         pass
     return builder.root
+
+
+def parse_dom_indexed(html: str):
+    """(root, index) — index maps tag → nodes in document order for the
+    extraction hot path (no whole-tree re-traversals)."""
+    builder = _DomBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        pass
+    return builder.root, builder.index
 
 
 def parse_srcset(srcset: str) -> list[dict]:
@@ -214,13 +239,18 @@ def score_image(img: Node, index: int, total_images: int) -> tuple[int, str | No
     return (score, detected_format)
 
 
-def extract_metadata(root: Node) -> dict:
+def extract_metadata(root: Node, index=None) -> dict:
     """<head> metadata with og/twitter fallbacks (utils.py:1497-1580)."""
     meta = {"title": "", "description": "", "keywords": "", "author": ""}
     og: dict[str, str] = {}
-    for node in root.iter():
+    if index is not None:
+        nodes = index["title"] + index["meta"]
+    else:
+        nodes = [n for n in root.iter() if n.tag in ("title", "meta")]
+    for node in nodes:
         if node.tag == "title":
-            meta["title"] = _WS_RE.sub(" ", node.text_content()).strip()
+            if not meta["title"]:
+                meta["title"] = _WS_RE.sub(" ", node.text_content()).strip()
         elif node.tag == "meta":
             name = (node.get("name") or "").lower()
             prop = (node.get("property") or "").lower()
@@ -318,7 +348,7 @@ def extract_spans(root: Node) -> list[dict]:
     return spans
 
 
-def extract_links(root: Node, url: str, base_domain: str) -> tuple[list[dict], list[dict]]:
+def extract_links(root: Node, url: str, base_domain: str, index=None) -> tuple[list[dict], list[dict]]:
     """Link records with first-wins dedup per page
     (content_scraping_strategy.py:255-311).  ``link_pos`` is the document
     order index of the <a> element — the deterministic merge key the frontier
@@ -326,15 +356,14 @@ def extract_links(root: Node, url: str, base_domain: str) -> tuple[list[dict], l
     internal: dict[str, dict] = {}
     external: dict[str, dict] = {}
     pos = 0
-    for node in root.iter():
-        if node.tag != "a":
-            continue
+    anchors = index["a"] if index is not None else [n for n in root.iter() if n.tag == "a"]
+    for node in anchors:
         href = (node.get("href") or "").strip()
         pos += 1
         if not href:
             continue
         try:
-            normalized = normalize_url(href, url)
+            normalized = normalize_url_cached(href, url)
         except Exception:
             continue
         if normalized is None:
@@ -357,12 +386,12 @@ def extract_links(root: Node, url: str, base_domain: str) -> tuple[list[dict], l
     return list(internal.values()), list(external.values())
 
 
-def extract_media(root: Node) -> dict:
+def extract_media(root: Node, index=None) -> dict:
     """images/videos/audios lists (content_scraping_strategy.py:314-359)."""
     images: list[dict] = []
     videos: list[dict] = []
     audios: list[dict] = []
-    imgs = [n for n in root.iter() if n.tag == "img"]
+    imgs = index["img"] if index is not None else [n for n in root.iter() if n.tag == "img"]
     total = len(imgs)
     for idx, img in enumerate(imgs):
         score, detected_format = score_image(img, idx, total)
@@ -394,9 +423,8 @@ def extract_media(root: Node) -> dict:
                 for source in parse_srcset(val):
                     add_variant(source["url"], source["width"])
     for kind, bucket in (("video", videos), ("audio", audios)):
-        for node in root.iter():
-            if node.tag != kind:
-                continue
+        nodes = index[kind] if index is not None else [n for n in root.iter() if n.tag == kind]
+        for node in nodes:
             info = {
                 "src": node.get("src"),
                 "alt": node.get("alt"),
@@ -428,12 +456,12 @@ def spans_to_markdown(spans: list[dict]) -> str:
 
 def extract_page(html: str, url: str) -> dict:
     """Full per-page extraction → plain dict (used inside extract_batch)."""
-    root = parse_dom(html)
+    root, index = parse_dom_indexed(html)
     base_domain = get_base_domain(url)
-    meta = extract_metadata(root)
-    internal, external = extract_links(root, url, base_domain)
+    meta = extract_metadata(root, index)
+    internal, external = extract_links(root, url, base_domain, index)
     spans = extract_spans(root)
-    media = extract_media(root)
+    media = extract_media(root, index)
     return {
         "metadata": meta,
         "internal_links": internal,

@@ -20,6 +20,7 @@ over an Arrow column lives in ``stages/canonicalize.py``.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from urllib.parse import (
     parse_qs,
     parse_qsl,
@@ -208,3 +209,13 @@ def host_of(url: str) -> str:
         return urlparse(url).netloc.lower()
     except Exception:
         return ""
+
+
+# cached entry points for the hot paths (per-process caches, same pattern as
+# the reference's lru_cache(10000) on its normalizers/filters — nav links
+# repeat across every page of a site)
+normalize_url_cached = lru_cache(maxsize=100_000)(normalize_url)
+normalize_url_for_deep_crawl_cached = lru_cache(maxsize=100_000)(
+    normalize_url_for_deep_crawl
+)
+host_of_cached = lru_cache(maxsize=50_000)(host_of)
