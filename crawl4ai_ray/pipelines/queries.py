@@ -554,6 +554,57 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.3):
     return pa.Table.from_pylist(pairs.take_all())
 
 
+def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.3):
+    """Scale-path near-dup: hyperplane-LSH candidates → exact cosine verify
+    (rows-only; recall-vs-brute-force characterized in tests)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import _normalize, lsh_neardup_pairs
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    m = _normalize(np.asarray(t.column("embedding").to_pylist(), dtype=np.float64))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pa.Table.from_pylist(
+        lsh_neardup_pairs(ds, ids, m, threshold=threshold, n_planes=6).take_all()
+    )
+
+
+def docs_interleaved(sf_dir: str):
+    """The canonical output contract (BASELINE.json input_hint): crawl the
+    synthetic site and return exactly (doc_id:string,
+    spans:list<struct<kind,text,media_ref,offset>>)."""
+    import tempfile
+
+    from .crawl import CrawlConfig, CrawlEngine
+    from ..sources.corpus import CorpusParams, SyntheticTransport, robots_map
+
+    params = CorpusParams(n_hosts=2, pages_per_host=30, seed=42)
+    cfg = CrawlConfig(max_depth=5, num_seen_shards=2, num_politeness_shards=1,
+                      deterministic=True)
+    engine = CrawlEngine(
+        SyntheticTransport(params), cfg, tempfile.mkdtemp(prefix="docs_ilv_"),
+        robots_bodies=robots_map(params),
+    )
+    engine.run(params.seeds())
+    docs = engine.docs_dataset()
+
+    from ..schema import DOCS_SCHEMA, SPAN_STRUCT
+
+    rows = docs.select_columns(["doc_id", "spans"]).take_all()
+    # rebuild with the declared schema (dict round-trips reorder struct
+    # fields alphabetically and widen offset to int64)
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.string()),
+            "spans": pa.array(
+                [r["spans"] for r in rows], type=pa.list_(SPAN_STRUCT)
+            ),
+        },
+        schema=DOCS_SCHEMA,
+    )
+
+
 # --------------------------------------------------------------- interleaved
 
 def spans_flat(sf_dir: str):
@@ -883,6 +934,8 @@ QUERIES = {
     "knn_cosine_top10": knn_cosine_top10,
     "knn_cosine_lsh": knn_cosine_lsh,
     "embedding_neardup": embedding_neardup,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
+    "docs_interleaved": docs_interleaved,
     "spans_flat": spans_flat,
     "media_catalog": media_catalog,
     "chunks_fixed": chunks_fixed,

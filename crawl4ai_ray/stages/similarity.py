@@ -132,6 +132,59 @@ class HyperplaneLSHStage:
         )
 
 
+def lsh_neardup_pairs(
+    ds,
+    ids,
+    normalized_matrix,
+    threshold: float = 0.8,
+    n_planes: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Scale-path near-dup: LSH bucket candidates → exact cosine verify.
+
+    Candidate pairs come from hyperplane buckets (groupby bucket — ids only
+    shuffle); the verify stage looks both vectors up in the broadcast
+    normalized matrix and keeps cosine ≥ threshold.  Recall < 1 by design
+    (pairs split across every bucket are missed); raise recall with repeated
+    bands (seed variation) like minhash banding."""
+    id_to_row = {int(i): r for r, i in enumerate(ids)}
+    ref = ray.put((id_to_row, normalized_matrix))
+    dim = normalized_matrix.shape[1]
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        lookup, mat = ray.get(ref)
+        a_ids = batch.column("id_a").to_pylist()
+        b_ids = batch.column("id_b").to_pylist()
+        a_out, b_out, c_out = [], [], []
+        seen_pairs = set()
+        for a, b in zip(a_ids, b_ids):
+            if (a, b) in seen_pairs:
+                continue
+            seen_pairs.add((a, b))
+            cos = float(mat[lookup[a]] @ mat[lookup[b]])
+            if cos >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+                c_out.append(round(cos, 4))
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, type=pa.int64()),
+                "id_b": pa.array(b_out, type=pa.int64()),
+                "cos": pa.array(c_out, type=pa.float64()),
+            }
+        )
+
+    pairs = lsh_bucket_pairs(ds, dim, n_planes, seed, id_col, vec_col)
+    verified = pairs.map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _dedup(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return verified.groupby(["id_a", "id_b"]).map_groups(_dedup, batch_format="pyarrow")
+
+
 def lsh_bucket_pairs(ds, dim: int, n_planes: int = 12, seed: int = 7,
                      id_col: str = "vec_id", vec_col: str = "embedding"):
     """Scale path: bucket by hyperplane signature, emit candidate pairs per

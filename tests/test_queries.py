@@ -125,3 +125,56 @@ def test_knn_lsh_contains_query(ray_session):
     tbl = _to_table(Q.knn_cosine_lsh(SF))
     ids = tbl.column("vec_id").to_pylist()
     assert 0 in ids  # the query vector itself lands in its own bucket
+
+
+def test_lsh_neardup_recall(ray_session):
+    """LSH-verified pairs are a subset of brute-force pairs (no false
+    positives after verify) with planted near-dups recovered."""
+    import numpy as np
+    import ray.data
+
+    from crawl4ai_ray.stages.similarity import (
+        _normalize,
+        cosine_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(40, 16))
+    # plant 5 near-dup pairs (ids 100+i ~ ids i)
+    dups = base[:5] + rng.normal(scale=0.05, size=(5, 16))
+    vecs = np.vstack([base, dups])
+    ids = np.array(list(range(40)) + [100 + i for i in range(5)])
+    m = _normalize(vecs)
+    rows = [{"vec_id": int(i), "embedding": v.tolist()} for i, v in zip(ids, vecs)]
+    ds = ray.data.from_items(rows)
+
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(ds, threshold=0.9, full_matrix=(ids, m)).take_all()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(ds, ids, m, threshold=0.9, n_planes=6).take_all()
+    }
+    assert lsh <= brute  # verify stage kills any bucket false positive
+    planted = {(i, 100 + i) for i in range(5)}
+    assert planted <= brute
+    assert len(lsh & planted) >= 3  # LSH recall on planted dups
+
+
+def test_docs_interleaved_contract(ray_session):
+    import pyarrow as pa
+
+    from crawl4ai_ray.pipelines.queries import docs_interleaved
+    from crawl4ai_ray.schema import DOCS_SCHEMA
+
+    tbl = docs_interleaved(SF)
+    assert tbl.num_rows > 20
+    assert set(tbl.column_names) == {"doc_id", "spans"}
+    spans0 = tbl.column("spans")[0].as_py()
+    assert spans0 and set(spans0[0]) == {"kind", "text", "media_ref", "offset"}
+    # castable to the declared schema
+    pa.table(
+        {"doc_id": tbl.column("doc_id"), "spans": tbl.column("spans")}
+    ).cast(DOCS_SCHEMA)
