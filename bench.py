@@ -8,8 +8,8 @@ BASELINE.json metric).  Plus per-query timings over $GRAFT_SF_DIR.
 
 Usage:
     python bench.py                  # full bench (crawl + queries), one JSON line
-    python bench.py --scaling        # headline at num_cpus=8 and 32 in fresh
-                                     # processes → throughputs + efficiency
+    python bench.py --scaling        # headline at N=4 and 4N=16 cpus in
+                                     # fresh processes → throughputs + efficiency
     python bench.py --headline-only  # crawl only (used by --scaling children)
 
 Owns its Ray session (the only scripts allowed to: bench, CLI, test fixture).
@@ -39,9 +39,9 @@ def crawl_headline(num_cpus: int, scale: float) -> dict:
     from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
     from crawl4ai_ray.sources.corpus import CorpusParams, SyntheticTransport, robots_map
 
-    # ~42k realistic-size pages (20-40 KB HTML) at sf=0.1; heavy host 0.
-    # branch=12 keeps epoch count low (BFS depth ~4) so fixed per-epoch cost
-    # doesn't mask scaling; enrich adds the scoring work a production crawl
+    # ~41k realistic-size pages (~15-30 KB text) at sf=0.1; heavy host 0.
+    # branch=64 tree keeps BFS depth ~3 so fixed per-epoch cost doesn't mask
+    # scaling; enrich adds the scoring/fingerprint work a production crawl
     # runs between extract and sink.
     params = CorpusParams(
         n_hosts=32,
