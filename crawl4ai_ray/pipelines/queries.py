@@ -1017,7 +1017,7 @@ ORACLE_SQL = {
             FROM ordered
         )
         SELECT user_id,
-               sum(new_session) AS n_sessions,
+               CAST(sum(new_session) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM marked
         GROUP BY user_id
