@@ -133,6 +133,8 @@ def bm25_rank_dataset(ds, query: str, text_col: str = "text", id_col: str = "doc
     idf = {t: (v if v >= 0 else 0.25 * avg_idf) for t, v in raw.items()}
 
     def _score(batch: pa.Table) -> pa.Table:
+        from .numeric import duck_round
+
         texts = batch.column(text_col).to_pylist()
         out = []
         for text in texts:
@@ -143,10 +145,15 @@ def bm25_rank_dataset(ds, query: str, text_col: str = "text", id_col: str = "doc
                 if w in idf:
                     freqs[w] = freqs.get(w, 0) + 1
             s = 0.0
-            for t, f in freqs.items():
+            # sorted q_terms order + duck_round: float-add order and rounding
+            # mode match the SQL oracle exactly
+            for t in q_terms:
+                f = freqs.get(t, 0)
+                if not f:
+                    continue
                 denom = f + k1 * (1 - b + b * dl / avgdl)
                 s += idf[t] * f * (k1 + 1) / denom
-            out.append(round(s, 6))
+            out.append(float(duck_round(s, 6)))
         return pa.table(
             {id_col: batch.column(id_col), "bm25": pa.array(out, type=pa.float64())}
         )

@@ -1,0 +1,297 @@
+"""html → markdown converter with html2text fidelity on the feature slice
+the crawl pipeline emits — parity with the reference's
+``DefaultMarkdownGenerator`` configuration (CustomHTML2Text with
+body_width=0, single_line_break=True, mark_code=True;
+/root/reference/crawl4ai/markdown_generation_strategy.py:181-200, vendored
+converter /root/reference/crawl4ai/html2text/).
+
+Covered (golden-tested char-for-char vs the exec'd reference converter in
+tests/test_markdown_golden.py): headings, paragraphs/divs, inline spans,
+links (+titles, automatic ``<url>`` links), images, bold/italic with
+html2text's stressed-whitespace rules, inline code, ``[code]`` blocks from
+<pre>, flat and nested ul/ol, blockquotes, br, hr, entity unescaping, and
+the single-line-break block layout (lists trailed by a blank pair).
+
+Out of slice (documented, not silently wrong): tables, definition lists,
+nested blockquotes, emphasis nested inside emphasis.  The structure here is
+a DOM walk over stages/extract.py's tree — not a port of the reference's
+streaming parser.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..stages.extract import parse_dom
+
+_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+_BLOCK_TAGS = {
+    "html", "body", "p", "div", "section", "article", "header", "footer",
+    "nav", "main", "aside", "figure", "figcaption", "ul", "ol", "li",
+    "blockquote", "pre", "hr", "table", "video", "audio",
+} | set(_HEADINGS)
+_SKIP_TAGS = {"script", "style", "head", "title", "meta", "link"}
+_ABS_URL_RE = re.compile(r"^[a-zA-Z+]+://")
+_STRESS_SPACE_RE = re.compile(r"[^][(){}\s.!?]")
+_WS_RE = re.compile(r"\s+")
+_PUNCT = set("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+
+
+def _escape_url(url: str) -> str:
+    """html2text escapes parens inside the (url) part of md links."""
+    return url.replace("(", r"\(").replace(")", r"\)")
+
+
+class _Inline:
+    """Inline emitter holding html2text's stressed-text state machine:
+    text just inside b/i/em/strong is stripped; the next text after one gets
+    a leading space unless it starts with punctuation-ish chars or sits in
+    a/code/pre (utils: reference html2text/__init__.py:884-896, 425-465)."""
+
+    def __init__(self):
+        self.parts: list[str] = []
+        self.stressed = False
+        self.preceding_stressed = False
+        self.preceding_data = ""
+
+    def text(self, data: str, in_code: bool = False, suppress_stress_space: bool = False):
+        if data == "":
+            return
+        raw = data
+        if self.stressed:
+            data = data.strip()
+            self.stressed = False
+            self.preceding_stressed = True
+        elif self.preceding_stressed:
+            if (
+                data[:1]
+                and _STRESS_SPACE_RE.match(data[0])
+                and not suppress_stress_space
+            ):
+                data = " " + data
+            self.preceding_stressed = False
+        self.preceding_data = raw
+        collapsed = data if in_code else _WS_RE.sub(" ", data)
+        if not self.parts and collapsed.startswith(" "):
+            collapsed = collapsed.lstrip(" ")
+        self.parts.append(collapsed)
+
+    def marker(self, s: str):
+        self.parts.append(s)
+
+    def open_em(self):
+        pd = self.preceding_data
+        if pd and pd[-1] not in " \t\n\r\x0b\x0c" and pd[-1] not in _PUNCT:
+            self.marker(" _")
+            self.preceding_data += " "
+        else:
+            self.marker("_")
+        self.stressed = True
+
+    def open_strong(self):
+        pd = self.preceding_data
+        if pd and pd[-1] == "*":
+            self.marker(" **")
+            self.preceding_data += " "
+        else:
+            self.marker("**")
+        self.stressed = True
+
+    def result(self) -> str:
+        return "".join(self.parts).rstrip()
+
+
+class MarkdownConverter:
+    """DOM-walking converter; ``convert(html) -> str``."""
+
+    def convert(self, html: str) -> str:
+        root = parse_dom(html or "")
+        blocks: list[tuple[str, str]] = []  # (text, kind)
+        self._walk_blocks(root, blocks, list_depth=0)
+        return self._join(blocks)
+
+    # ----------------------------------------------------------- block walk
+    def _join(self, blocks: list[tuple[str, str]]) -> str:
+        out: list[str] = []
+        prev = None
+        for text, kind in blocks:
+            if prev is not None:
+                out.append("\n")
+            elif kind == "pre":
+                out.append("\n")
+            out.append(text)
+            if kind == "list":
+                out.append("\n\n")
+            prev = kind
+        if prev is None:
+            return "\n"  # html2text: no content still yields one newline
+        return "".join(out) + "\n"
+
+    def _walk_blocks(self, node, blocks, list_depth):
+        """Walk children: contiguous inline content forms implicit
+        paragraphs; block children recurse."""
+        inline = _Inline()
+
+        def flush():
+            nonlocal inline
+            text = inline.result()
+            if text:
+                blocks.append((text, "normal"))
+            inline = _Inline()
+
+        for c in node.children:
+            if isinstance(c, str):
+                self._inline_node(c, inline, None)
+                continue
+            if c.tag in _SKIP_TAGS:
+                continue
+            if c.tag in _BLOCK_TAGS:
+                flush()
+                self._block_node(c, blocks, list_depth)
+            else:
+                self._inline_node(c, inline, None)
+        flush()
+
+    def _block_node(self, node, blocks, list_depth):
+        tag = node.tag
+        if tag in _HEADINGS:
+            text = self._render_inline(node, in_heading=True)
+            if text:
+                blocks.append(("#" * _HEADINGS[tag] + " " + text, "normal"))
+        elif tag == "hr":
+            blocks.append(("* * *", "normal"))
+        elif tag == "pre":
+            content = self._pre_text(node)
+            lines = content.split("\n")
+            while lines and lines[-1] == "":
+                lines.pop()
+            body = "\n".join("    " + ln if ln else "" for ln in lines)
+            blocks.append((f"[code]\n{body}\n[/code]", "pre"))
+        elif tag in ("ul", "ol"):
+            lines: list[str] = []
+            self._list_items(node, lines, depth=list_depth)
+            if lines:
+                kind = "list" if list_depth == 0 else "normal"
+                blocks.append(("\n".join(lines), kind))
+        elif tag == "li":  # bare li outside a list (html2text: '* x')
+            text = self._render_inline(node)
+            if text:
+                blocks.append(("* " + text, "normal"))
+        elif tag == "blockquote":
+            inner: list[tuple[str, str]] = []
+            self._walk_blocks(node, inner, list_depth)
+            quoted = "\n".join(
+                "\n".join("> " + ln for ln in text.split("\n"))
+                for text, _k in inner
+            )
+            if quoted:
+                blocks.append((quoted, "normal"))
+        else:  # p, div, nav, figure, ... : implicit-paragraph container
+            self._walk_blocks(node, blocks, list_depth)
+
+    def _list_items(self, node, lines, depth):
+        ordered = node.tag == "ol"
+        counter = 0
+        for c in node.children:
+            if isinstance(c, str) or c.tag != "li":
+                continue
+            counter += 1
+            mark = f"{counter}. " if ordered else "* "
+            # item inline text (nested lists handled after the item line)
+            item_inline = _Inline()
+            nested: list = []
+            for cc in c.children:
+                if not isinstance(cc, str) and cc.tag in ("ul", "ol"):
+                    nested.append(cc)
+                elif not isinstance(cc, str) and cc.tag in _BLOCK_TAGS:
+                    # block inside li (e.g. <p>): inline its text
+                    self._inline_node_children(cc, item_inline)
+                else:
+                    self._inline_node(cc, item_inline, None)
+            text = item_inline.result()
+            if text:
+                lines.append("  " * (depth + 1) + mark + text)
+            for sub in nested:
+                self._list_items(sub, lines, depth + 1)
+
+    # --------------------------------------------------------------- inline
+    def _render_inline(self, node, in_heading: bool = False) -> str:
+        inline = _Inline()
+        self._inline_node_children(node, inline)
+        return inline.result()
+
+    def _inline_node_children(self, node, inline):
+        for c in node.children:
+            self._inline_node(c, inline, None)
+
+    def _inline_node(self, c, inline, parent_tag):
+        if isinstance(c, str):
+            inline.text(c)
+            return
+        tag = c.tag
+        if tag in _SKIP_TAGS:
+            return
+        if tag in ("b", "strong"):
+            inline.open_strong()
+            self._inline_node_children(c, inline)
+            inline.marker("**")
+            if not inline.stressed:
+                inline.preceding_stressed = True
+        elif tag in ("i", "em"):
+            inline.open_em()
+            self._inline_node_children(c, inline)
+            inline.marker("_")
+            if not inline.stressed:
+                inline.preceding_stressed = True
+        elif tag == "code":
+            inline.stressed = False
+            if inline.preceding_stressed:
+                inline.preceding_stressed = False
+            inline.marker("`")
+            self._inline_node_children(c, inline)
+            inline.marker("`")
+        elif tag == "a":
+            href = c.get("href")
+            sub = _Inline()
+            # link text never gets the stressed space (reference rule)
+            sub.stressed = inline.stressed
+            inline.stressed = False
+            inline.preceding_stressed = False
+            self._inline_node_children(c, sub)
+            text = sub.result()
+            if href is None:
+                inline.text(text)
+            elif text == href and _ABS_URL_RE.match(href):
+                inline.marker(f"<{href}>")
+            else:
+                title = c.get("title")
+                suffix = f' "{title}"' if title is not None else ""
+                inline.marker(f"[{text}]({_escape_url(href)}{suffix})")
+            inline.preceding_data = text or href or ""
+        elif tag == "img":
+            src = c.get("src")
+            if src is None:
+                return  # no src, no markdown (reference: src required)
+            alt = c.get("alt") or ""
+            inline.marker(f"![{alt}]({_escape_url(src)})")
+            inline.preceding_data = alt or src
+        elif tag == "br":
+            inline.marker("  \n")
+        else:
+            self._inline_node_children(c, inline)
+
+    def _pre_text(self, node) -> str:
+        out: list[str] = []
+        stack = list(reversed(node.children))
+        while stack:
+            c = stack.pop()
+            if isinstance(c, str):
+                out.append(c)
+            else:
+                stack.extend(reversed(c.children))
+        return "".join(out).strip("\n")
+
+
+def html_to_markdown(html: str) -> str:
+    """Module-level convenience (stateless; converter is cheap)."""
+    return MarkdownConverter().convert(html)

@@ -133,10 +133,24 @@ def _node_html(node: Node) -> str:
 
 
 class JsonCssExtractor:
-    """Schema extractor over the stdlib DOM (reference semantics)."""
+    """Schema extractor over the stdlib DOM (reference semantics).
+
+    Selection and text extraction are overridable hooks (``_select`` /
+    ``_text_of``) so the XPath variant (functions/xpath_extract.py, parity
+    with reference extraction_strategy.py:1851) reuses the whole field
+    machinery — mirroring the reference's JsonElementExtractionStrategy
+    template-method design."""
 
     def __init__(self, schema: dict):
         self.schema = schema
+
+    # -- selection hooks ---------------------------------------------------
+    def _select(self, element: Node, selector: str) -> list[Node]:
+        return select(element, selector)
+
+    def _text_of(self, node: Node) -> str:
+        # CSS strategy semantics: whitespace-collapsed text
+        return re.sub(r"\s+", " ", node.text_content()).strip()
 
     # -- field machinery (extraction_strategy.py:1106-1230) ---------------
     def _apply_transform(self, value, transform):
@@ -150,7 +164,7 @@ class JsonCssExtractor:
 
     def _extract_single_field(self, element: Node, field: dict):
         if "selector" in field:
-            selected = select(element, field["selector"])
+            selected = self._select(element, field["selector"])
             if not selected:
                 return field.get("default")
             selected = selected[0]
@@ -159,7 +173,7 @@ class JsonCssExtractor:
         value = None
         ftype = field["type"]
         if ftype == "text":
-            value = re.sub(r"\s+", " ", selected.text_content()).strip()
+            value = self._text_of(selected)
         elif ftype == "attribute":
             value = selected.get(field["attribute"])
         elif ftype == "html":
@@ -184,17 +198,17 @@ class JsonCssExtractor:
         try:
             ftype = field["type"]
             if ftype == "nested":
-                nested = select(element, field["selector"])
+                nested = self._select(element, field["selector"])
                 return self._extract_item(nested[0], field["fields"]) if nested else {}
             if ftype == "list":
                 return [
                     self._extract_list_item(el, field["fields"])
-                    for el in select(element, field["selector"])
+                    for el in self._select(element, field["selector"])
                 ]
             if ftype == "nested_list":
                 return [
                     self._extract_item(el, field["fields"])
-                    for el in select(element, field["selector"])
+                    for el in self._select(element, field["selector"])
                 ]
             return self._extract_single_field(element, field)
         except Exception:
@@ -223,7 +237,7 @@ class JsonCssExtractor:
     def extract(self, html: str) -> list[dict]:
         root = parse_dom(html)
         results = []
-        for element in select(root, self.schema["baseSelector"]):
+        for element in self._select(root, self.schema["baseSelector"]):
             item = {}
             for field in self.schema.get("baseFields", []):
                 value = self._extract_single_field(element, field)

@@ -16,7 +16,7 @@ import re
 
 import numpy as np
 
-from ..hashing import h64, h64_with_seed
+from ..hashing import h64, h64_with_seed, md5_64
 
 _WS_SPLIT = re.compile(r"\s+")
 _NON_ALPHA = re.compile(r"[^a-zA-Z]")
@@ -95,10 +95,13 @@ def md5_fingerprint(text: str) -> str:
 
 
 def rolling_fingerprint(text: str, base: int = 1_000_003, mod: int = (1 << 61) - 1) -> int:
-    """Polynomial rolling hash over whitespace tokens (document fingerprint)."""
+    """Polynomial rolling hash over whitespace tokens (document fingerprint).
+
+    Token hash is ``md5_64`` so the DuckDB oracle can recompute the identical
+    fingerprint in SQL (list_reduce over hex-parsed md5 prefixes)."""
     h = 0
     for t in tokens(text):
-        h = (h * base + h64(t)) % mod
+        h = (h * base + md5_64(t)) % mod
     return h
 
 
@@ -108,6 +111,20 @@ def shingles(text: str, k: int = 3) -> set[str]:
     if len(toks) < k:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct md5_64 hashes of the k-token shingles, sorted ascending.
+
+    The dedup join ships these (8 bytes/shingle) instead of the text; jaccard
+    over distinct hash sets equals jaccard over shingle sets (and the DuckDB
+    oracle computes the very same hash values, so even a collision agrees)."""
+    sh = shingles(text, k)
+    if not sh:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.fromiter((md5_64(s) for s in sh), dtype=np.uint64, count=len(sh))
+    arr.sort()
+    return arr
 
 
 def jaccard(a: set, b: set) -> float:
@@ -121,31 +138,46 @@ def jaccard(a: set, b: set) -> float:
 # ------------------------------------------------------------------- minhash
 class MinHasher:
     """64-perm minhash via seeded rehash of a base 64-bit hash (build once
-    per worker — classic stateful map_batches setup)."""
+    per worker — classic stateful map_batches setup).
+
+    Every ingredient is DuckDB-recomputable so the LSH dedup pipeline has a
+    full SQL oracle: base hash = ``md5_64`` (hex-parse in SQL), permutations
+    = (base·a + b) mod 2⁶⁴ with a < 2³¹ odd and b < 2³¹ (so the SQL-side
+    HUGEINT product base·a < 2⁹⁵ never overflows INT128 before the mod, while
+    numpy gets the identical value from native uint64 wraparound), and band
+    keys = '-'-joined decimal strings of the band's signature slots."""
 
     def __init__(self, num_perm: int = 64, seed: int = 1):
         self.num_perm = num_perm
         rng = np.random.RandomState(seed)
-        # odd multipliers + offsets for a multiply-shift family
-        self.a = rng.randint(1, 2**62, size=num_perm).astype(np.uint64) * np.uint64(2) + np.uint64(1)
-        self.b = rng.randint(0, 2**62, size=num_perm).astype(np.uint64)
+        self.a = (rng.randint(1, 2**30, size=num_perm).astype(np.uint64)
+                  * np.uint64(2) + np.uint64(1))  # odd, < 2^31
+        self.b = rng.randint(0, 2**31, size=num_perm).astype(np.uint64)
+
+    def signature_from_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # multiply-shift permutations, vectorized over (shingles × perms);
+        # uint64 arithmetic wraps mod 2^64 by construction
+        vals = hashes[:, None] * self.a[None, :] + self.b[None, :]
+        return vals.min(axis=0)
 
     def signature(self, shingle_set: set[str]) -> np.ndarray:
         if not shingle_set:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        base = np.fromiter((h64(s) for s in shingle_set), dtype=np.uint64, count=len(shingle_set))
-        # multiply-shift permutations, vectorized over (shingles × perms)
-        vals = base[:, None] * self.a[None, :] + self.b[None, :]
-        return vals.min(axis=0)
+        base = np.fromiter(
+            (md5_64(s) for s in shingle_set), dtype=np.uint64, count=len(shingle_set)
+        )
+        return self.signature_from_hashes(base)
 
-    def bands(self, sig: np.ndarray, band_rows: int = 8) -> list[int]:
-        """LSH band keys: hash of each band of `band_rows` signature slots."""
+    def bands(self, sig: np.ndarray, band_rows: int = 8) -> list[str]:
+        """LSH band keys: the band's signature slots as a joined decimal
+        string (SQL: array_to_string(array_agg(sig ORDER BY pid), '-'))."""
         n_bands = self.num_perm // band_rows
-        out = []
-        for b in range(n_bands):
-            chunk = sig[b * band_rows : (b + 1) * band_rows].tobytes()
-            out.append(h64_with_seed(chunk, b))
-        return out
+        return [
+            "-".join(str(int(v)) for v in sig[b * band_rows : (b + 1) * band_rows])
+            for b in range(n_bands)
+        ]
 
 
 # -------------------------------------------------------------------- simhash
@@ -158,7 +190,8 @@ def simhash64(text: str) -> int:
     if not toks:
         return 0
     uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-    hashes = np.fromiter((h64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+    # md5_64 so the DuckDB oracle can recompute bit-identical signatures
+    hashes = np.fromiter((md5_64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
     bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     weights = np.where(bits.astype(bool), counts[:, None], -counts[:, None])
     acc = weights.sum(axis=0)

@@ -39,6 +39,18 @@ except ImportError:
         return int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "little")
 
 
+def md5_64(s: str | bytes) -> int:
+    """64-bit hash = first 16 hex chars of md5, parsed big-endian.
+
+    Used (instead of ``h64``) by the operators whose DuckDB oracle must
+    recompute the same hash in SQL: md5 is the one cryptographic hash both
+    sides share (`substr(md5(x), 1, 16)` hex-parsed via list_reduce).  Keep
+    ``h64`` for everything internal (seen set, sharding) — it's faster."""
+    if isinstance(s, str):
+        s = s.encode("utf-8", "surrogatepass")
+    return int(hashlib.md5(s).hexdigest()[:16], 16)
+
+
 def h64_with_seed(s: str | bytes, seed: int) -> int:
     """Seeded variant (for bloom k-hash derivation / minhash permutations)."""
     if isinstance(s, str):

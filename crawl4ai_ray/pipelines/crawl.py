@@ -72,11 +72,17 @@ class CrawlConfig:
     include_external: bool = False
     score_threshold: float = -INF
     strategy: str = "bfs"  # bfs | best_first | dfs
+    # best_first: per-shard heap actors + driver k-way merge instead of one
+    # driver heap (the 10^10 frontier shape; url tiebreak on score ties)
+    best_first_sharded: bool = False
     num_seen_shards: int = 4
     num_politeness_shards: int = 2
     fetch_concurrency: int = 4
     fetch_batch_size: int = 128
     extract_batch_size: int = 128
+    # scale-mode seen anti-join: driver-held candidate keys per round — peak
+    # driver memory is O(this), never O(epoch frontier)
+    seen_round_chunk: int = 65536
     base_delay: tuple[float, float] = (0.0, 0.0)
     max_delay: float = 60.0
     max_retries: int = 3
@@ -155,6 +161,34 @@ def _frontier_table(rows: list[dict], epoch: int, num_shards: int) -> pa.Table:
             "shard_id": pa.array(
                 [hh % num_shards for hh in host_hashes], type=pa.int32()
             ),
+        }
+    )
+
+
+def _frontier_part_from_keys(
+    batch: pa.Table, rank_offset: int, epoch: int, num_shards: int
+) -> pa.Table:
+    """Vectorized next-frontier part built straight from a candidate-key
+    chunk (scale path) — no per-row driver dicts, columns reused zero-copy."""
+    n = batch.num_rows
+    hh = np.asarray(batch.column("host_hash").to_numpy(zero_copy_only=False))
+    depth = (
+        np.asarray(batch.column("src_depth").to_numpy(zero_copy_only=False)) + 1
+    ).astype(np.int32)
+    return pa.table(
+        {
+            "frontier_rank": pa.array(
+                np.arange(rank_offset, rank_offset + n), type=pa.int64()
+            ),
+            "url": batch.column("url"),
+            "url_hash": batch.column("url_hash"),
+            "host": batch.column("host"),
+            "host_hash": batch.column("host_hash"),
+            "depth": pa.array(depth, type=pa.int32()),
+            "parent_url": batch.column("src_url"),
+            "score": batch.column("score").cast(pa.float32()),
+            "epoch": pa.array(np.full(n, epoch, dtype=np.int32), type=pa.int32()),
+            "shard_id": pa.array((hh % num_shards).astype(np.int32), type=pa.int32()),
         }
     )
 
@@ -494,20 +528,43 @@ class CrawlEngine:
         cand = cand.map_batches(
             _local_dedup, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
-        # Seen anti-join: ONE batched scatter-gather round on the driver over
-        # candidate KEYS only (url/hashes/host/depth/parent/score — never the
-        # documents).  In-task ray.get on the shard actors stalls workers and
-        # triggers raylet spawn storms at high parallelism; the driver round
-        # is a single ordered call per shard.  The epoch barrier makes the
-        # two orderings equivalent.
-        rows = cand.select_columns(
+        # Seen anti-join: CHUNKED scatter-gather rounds over candidate KEYS
+        # only (url/hashes/host/depth/parent/score — never the documents).
+        # ``iter_batches`` preserves pipeline block order, so the per-chunk
+        # check_and_add elects the SAME first-wins winners as a single
+        # ordered round, while peak driver memory is O(seen_round_chunk)
+        # instead of O(epoch frontier) — at the 10^10-URL design point an
+        # epoch's key set can be tens of GB, which must never sit on the
+        # driver at once.  Each fresh chunk is staged straight into the
+        # next-frontier directory (the parts double as the seen-set resume
+        # delta).  In-task ray.get on the shard actors stalls workers and
+        # triggers raylet spawn storms at high parallelism, so driver-paced
+        # rounds stay.
+        import pyarrow.parquet as _pq
+
+        keys = cand.select_columns(
             ["url", "url_hash", "host", "host_hash", "src_depth", "src_url", "score"]
-        ).take_all()
-        if rows:
+        )
+        next_n = 0
+        part_seq = 0
+        for batch in keys.iter_batches(
+            batch_size=cfg.seen_round_chunk, batch_format="pyarrow"
+        ):
+            if batch.num_rows == 0:
+                continue
             fresh = self.seen.check_and_add(
-                [r["url"] for r in rows], [r["host"] for r in rows]
+                batch.column("url").to_pylist(), batch.column("host").to_pylist()
             )
-            rows = [r for r, f in zip(rows, fresh) if f]
+            fresh_tbl = batch.filter(pa.array(fresh))
+            if fresh_tbl.num_rows == 0:
+                continue
+            part = _frontier_part_from_keys(
+                fresh_tbl, rank_offset=next_n, epoch=next_epoch,
+                num_shards=num_shards,
+            )
+            _pq.write_table(part, f"{next_dir}/part-{part_seq:05d}.parquet")
+            part_seq += 1
+            next_n += part.num_rows
 
         counters = ray.get(
             [s.drain_counters.remote() for s in self.politeness.shards]
@@ -515,31 +572,45 @@ class CrawlEngine:
         fetched = sum(c["fetched"] for c in counters)
         self.pages_crawled += fetched
         remaining = cfg.max_pages - self.pages_crawled
-        if len(rows) > remaining:
-            rows.sort(key=lambda r: (-r["score"], r["url"]))
-            rows = rows[: int(max(0, remaining))]
-        next_n = len(rows)
-        if next_n:
-            next_table = _frontier_table(
-                [
-                    {
-                        "url": r["url"],
-                        "url_hash": r["url_hash"],
-                        "host": r["host"],
-                        "host_hash": r["host_hash"],
-                        "depth": r["src_depth"] + 1,
-                        "parent_url": r["src_url"],
-                        "score": r["score"],
-                    }
-                    for r in rows
-                ],
-                next_epoch,
-                num_shards,
+        if next_n > remaining:
+            next_n = self._trim_frontier_dir(
+                next_dir, int(max(0, remaining)), next_epoch, num_shards
             )
-            self._stage_frontier(next_table, next_epoch, group="frontier")
         wall = time.time() - t0
         m = self._write_metrics_from_counters(counters, epoch, wall)
         return (next_dir if next_n else None), next_n, m, wall
+
+    def _trim_frontier_dir(
+        self, next_dir: str, keep_n: int, epoch: int, num_shards: int
+    ) -> int:
+        """max_pages cap on a staged frontier: keep the global top-``keep_n``
+        rows by (score desc, url asc) — a BOUNDED heap (heapq.nsmallest holds
+        ≤ keep_n rows) over the streamed parts, then restage.  Only runs in
+        the crawl's final epochs when the cap actually binds."""
+        import heapq
+
+        if keep_n <= 0:
+            shutil.rmtree(next_dir, ignore_errors=True)
+            os.makedirs(next_dir, exist_ok=True)
+            return 0
+
+        def _iter_rows():
+            ds = ray.data.read_parquet(
+                next_dir,
+                columns=[
+                    "url", "url_hash", "host", "host_hash", "depth",
+                    "parent_url", "score",
+                ],
+            )
+            for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+                yield from b.to_pylist()
+
+        rows = heapq.nsmallest(
+            keep_n, _iter_rows(), key=lambda r: (-r["score"], r["url"])
+        )
+        tbl = _frontier_table(rows, epoch, num_shards)
+        self._stage_frontier(tbl, epoch, group="frontier")
+        return len(rows)
 
     def _write_metrics_from_counters(
         self, counters: list[dict], epoch: int, wall_s: float
@@ -871,37 +942,71 @@ class CrawlEngine:
         in the queue); link_discovery applies validity+filters but NO score
         threshold (bff:92-137); batches of ``best_first_batch`` run through
         the same Ray fetch+extract pipeline; processing stops mid-batch when
-        max_pages is reached (bff:233-238).  At 10^10 scale the heap becomes
-        per-shard heaps + a driver k-way merge (SURVEY.md §7.4 item 2)."""
+        max_pages is reached (bff:233-238).
+
+        ``cfg.best_first_sharded`` switches the queue to per-shard heap
+        actors + a driver k-way merge (state/frontier_heap.py — the 10^10
+        shape: the driver holds O(shards×batch) rows per round, never the
+        frontier).  Score ties then break by url instead of the reference's
+        global insertion seq (a distributed frontier has no global seq);
+        the crawled SET matches, and order matches whenever scores are
+        distinct."""
         cfg = self.config
+        sharded = getattr(cfg, "best_first_sharded", False)
+        sheap = None
         heap: list[tuple[float, int, int, str, str | None]] = []
+        if sharded:
+            from ..state.frontier_heap import ShardedFrontierHeap
+
+            sheap = ShardedFrontierHeap(cfg.num_seen_shards)
         seq = 0
         visited: set[str] = set()
         depths: dict[str, int] = {}
+        seed_rows: list[dict] = []
         for s in seeds:
             canon = normalize_url_for_deep_crawl(s, s)
             if canon and is_valid_frontier_url(canon):
                 score = self.scorer.score(canon) if self.scorer else 0.0
-                heapq.heappush(heap, (-score, 0, seq, canon, None))
+                if sharded:
+                    seed_rows.append(
+                        {"url": canon, "host": host_of(canon), "score": score,
+                         "depth": 0, "parent_url": None}
+                    )
+                else:
+                    heapq.heappush(heap, (-score, 0, seq, canon, None))
                 depths[canon] = 0
                 seq += 1
+        if sharded and seed_rows:
+            sheap.push_batch(seed_rows)
         batch_idx = 0
         total_fetched = 0
         t_start = time.time()
-        while heap and self.pages_crawled < cfg.max_pages:
+        while (sheap.total_size() if sharded else len(heap)) and self.pages_crawled < cfg.max_pages:
             batch_rows = []
             newly_visited: list[str] = []
-            for _ in range(cfg.best_first_batch):
-                if not heap:
-                    break
-                neg_score, depth, _, url, parent = heapq.heappop(heap)
-                if url in visited:
-                    continue
-                visited.add(url)
-                newly_visited.append(url)
-                batch_rows.append(
-                    {"url": url, "depth": depth, "parent_url": parent, "score": -neg_score}
-                )
+            if sharded:
+                for row in sheap.pop_global_batch(cfg.best_first_batch):
+                    url = row["url"]
+                    if url in visited:
+                        continue
+                    visited.add(url)
+                    newly_visited.append(url)
+                    batch_rows.append(
+                        {"url": url, "depth": row["depth"],
+                         "parent_url": row["parent_url"], "score": row["score"]}
+                    )
+            else:
+                for _ in range(cfg.best_first_batch):
+                    if not heap:
+                        break
+                    neg_score, depth, _, url, parent = heapq.heappop(heap)
+                    if url in visited:
+                        continue
+                    visited.add(url)
+                    newly_visited.append(url)
+                    batch_rows.append(
+                        {"url": url, "depth": depth, "parent_url": parent, "score": -neg_score}
+                    )
             if not batch_rows:
                 continue
             frontier = _frontier_table(batch_rows, batch_idx, cfg.num_seen_shards)
@@ -913,6 +1018,7 @@ class CrawlEngine:
                 ["frontier_rank", "url", "depth", "success", "links"]
             ).take_all()
             cand.sort(key=lambda r: r["frontier_rank"])
+            push_buffer: list[dict] = []
             for row in cand:
                 if not row["success"]:
                     continue
@@ -936,8 +1042,16 @@ class CrawlEngine:
                     depths[norm] = next_depth
                     new_depth = depths.get(norm, next_depth)
                     score = self.scorer.score(norm) if self.scorer else 0.0
-                    heapq.heappush(heap, (-score, new_depth, seq, norm, row["url"]))
+                    if sharded:
+                        push_buffer.append(
+                            {"url": norm, "host": host_of(norm), "score": score,
+                             "depth": new_depth, "parent_url": row["url"]}
+                        )
+                    else:
+                        heapq.heappush(heap, (-score, new_depth, seq, norm, row["url"]))
                     seq += 1
+            if sharded and push_buffer:
+                sheap.push_batch(push_buffer)
             self._write_seen_delta(newly_visited, batch_idx)
             self._write_metrics(ext, batch_idx, wall)
             self.store.write_manifest(
@@ -952,6 +1066,8 @@ class CrawlEngine:
             )
             batch_idx += 1
         wall_total = time.time() - t_start
+        if sheap is not None:
+            sheap.shutdown()
         if visited:
             self.seen.add(sorted(visited), [host_of(u) for u in sorted(visited)])
         return {

@@ -465,19 +465,14 @@ def simhash_docs(sf_dir: str):
 
 
 def minhash_neardup_pairs(sf_dir: str):
-    """MinHash+LSH near-dup pairs verified by n-gram jaccard (rows-only)."""
-    import pyarrow.parquet as pq
-
+    """MinHash+LSH near-dup pairs verified by exact n-gram jaccard via a
+    shingle-hash join — no broadcast, no driver materialization; full SQL
+    oracle (the DuckDB side recomputes md5-based signatures, bands and
+    jaccard bit-identically)."""
     from ..stages.dedup import minhash_dedup_pairs
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    lookup = dict(
-        zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
-    )
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return pa.Table.from_pylist(
-        minhash_dedup_pairs(ds, threshold=0.5, texts_lookup=lookup).take_all()
-    )
+    return minhash_dedup_pairs(ds, threshold=0.5)
 
 
 # -------------------------------------------------------------- embeddings
@@ -501,42 +496,37 @@ def knn_cosine_top10(sf_dir: str):
 
 
 def knn_cosine_lsh(sf_dir: str):
-    """LSH-bucketed ANN variant (scale path; rows-only check — candidates
-    within the query's hyperplane bucket neighborhood, re-ranked exactly)."""
-    import pyarrow.parquet as pq
+    """LSH-bucketed ANN (scale path): candidates = vectors in the query's
+    hyperplane bucket or a hamming-1 neighbor bucket, re-ranked exactly.
 
+    Entirely in-pipeline: the signature stage passes the vector through, the
+    bucket-membership filter is a vectorized map_batches against the ≤9
+    near-bucket keys (tiny broadcast-by-closure), and only the per-block
+    top-k rows ever reach the driver.  SQL-oracled: the DuckDB side
+    recomputes the buckets from the same plane literals."""
     from ..stages.similarity import HyperplaneLSHStage, knn_cosine
 
     q = _query_vec(sf_dir)
     dim = len(q)
-    stage = HyperplaneLSHStage(dim=dim, n_planes=8, seed=7)
-    qbits = (q[None, :] @ stage.planes.T) > 0
-    qkey = 0
-    for i in range(stage.planes.shape[0]):
-        if qbits[0, i]:
-            qkey |= 1 << i
+    qkey = HyperplaneLSHStage(dim=dim, n_planes=8, seed=7).bucket_of(q)
+    near = pa.array(
+        sorted({qkey} | {qkey ^ (1 << i) for i in range(8)}), type=pa.uint64()
+    )
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     sigs = ds.map_batches(
         HyperplaneLSHStage,
-        fn_constructor_kwargs=dict(dim=dim, n_planes=8, seed=7),
+        fn_constructor_kwargs=dict(dim=dim, n_planes=8, seed=7, passthrough=True),
         batch_format="pyarrow",
         concurrency=(1, 2),
         zero_copy_batch=True,
     )
-    # candidates: same bucket or hamming-1 neighbor buckets
-    near = {qkey} | {qkey ^ (1 << i) for i in range(8)}
-    cand_ids = set()
-    for row in sigs.take_all():
-        if row["bucket"] in near:
-            cand_ids.add(row["vec_id"])
-    cand_set = frozenset(cand_ids)
 
-    def _in_bucket(b: pa.Table) -> pa.Table:
-        mask = [v in cand_set for v in b.column("vec_id").to_pylist()]
-        return b.filter(pa.array(mask))
+    def _in_near_bucket(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b.column("bucket"), value_set=near)
+        return b.filter(mask).drop_columns(["bucket"])
 
-    cand = ds.map_batches(_in_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    return knn_cosine(cand, q, k=min(10, len(cand_ids)))
+    cand = sigs.map_batches(_in_near_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return knn_cosine(cand, q, k=10)
 
 
 def embedding_neardup(sf_dir: str, threshold: float = 0.3):
@@ -555,19 +545,14 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.3):
 
 
 def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.3):
-    """Scale-path near-dup: hyperplane-LSH candidates → exact cosine verify
-    (rows-only; recall-vs-brute-force characterized in tests)."""
-    import pyarrow.parquet as pq
+    """Scale-path near-dup: hyperplane-LSH buckets → exact cosine verify
+    inside the bucket group (no broadcast matrix, no driver materialization;
+    SQL-oracled against the same plane literals)."""
+    from ..stages.similarity import lsh_neardup_pairs
 
-    from ..stages.similarity import _normalize, lsh_neardup_pairs
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(t.column("vec_id").to_pylist())
-    m = _normalize(np.asarray(t.column("embedding").to_pylist(), dtype=np.float64))
+    dim = len(_query_vec(sf_dir))
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return pa.Table.from_pylist(
-        lsh_neardup_pairs(ds, ids, m, threshold=threshold, n_planes=6).take_all()
-    )
+    return lsh_neardup_pairs(ds, dim=dim, threshold=threshold, n_planes=6, seed=7)
 
 
 def docs_interleaved(sf_dir: str):
@@ -787,6 +772,46 @@ def structured_roundtrip(sf_dir: str):
     return ds.map_batches(_render_and_extract, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def structured_xpath_roundtrip(sf_dir: str):
+    """XPath-addressed schema extraction round-trip (reference
+    JsonXPathExtractionStrategy, extraction_strategy.py:1851): render part
+    rows to HTML, extract them back with XPath selectors + predicates."""
+    from ..functions.xpath_extract import JsonXPathExtractor
+
+    schema = {
+        "baseSelector": "//div[@class='part']",
+        "fields": [
+            {"name": "name", "selector": ".//h2[contains(@class, 'name')]", "type": "text"},
+            {"name": "brand", "selector": ".//span[2]", "type": "text"},
+            {"name": "p_size", "selector": ".//span[@class='size']", "type": "regex", "pattern": r"size:(\d+)"},
+        ],
+    }
+    ds = _read(sf_dir, "part", columns=["p_name", "p_brand", "p_size"])
+
+    def _render_and_extract(b: pa.Table) -> pa.Table:
+        extractor = JsonXPathExtractor(schema)
+        html = "".join(
+            f'<div class="part"><h2 class="name">{n}</h2>'
+            f'<span class="mfg">mfg</span><span class="brand">{br}</span>'
+            f'<span class="size">size:{s}</span></div>'
+            for n, br, s in zip(
+                b.column("p_name").to_pylist(),
+                b.column("p_brand").to_pylist(),
+                b.column("p_size").to_pylist(),
+            )
+        )
+        items = extractor.extract(html)
+        return pa.table(
+            {
+                "name": pa.array([i["name"] for i in items], type=pa.string()),
+                "brand": pa.array([i["brand"] for i in items], type=pa.string()),
+                "p_size": pa.array([int(i["p_size"]) for i in items], type=pa.int32()),
+            }
+        )
+
+    return ds.map_batches(_render_and_extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def bm25_rank_docs(sf_dir: str, query: str = "stream batch merge sort"):
     """Corpus-level BM25 (barrier aggregation: DF stats combined then
     broadcast — SURVEY.md §2.7) over documents (rows-only: Okapi floor
@@ -869,6 +894,144 @@ def adaptive_digest_demo(sf_dir: str):
     )
 
 
+def cosine_cluster_demo(sf_dir: str):
+    """CosineStrategy pipeline over documents: 20-token chunks →
+    agglomerative cosine clustering (ward cut at max_dist) → word-count
+    filter → tagged clusters (reference extraction_strategy.py:135-475;
+    rows-only — hashing embedder stands in for the absent HF model)."""
+    from ..functions.cosine_cluster import CosineClusterStage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _chunked(b: pa.Table) -> pa.Table:
+        texts = []
+        for t in b.column("text").to_pylist():
+            toks = (t or "").split()
+            texts.append(
+                "\n".join(
+                    " ".join(toks[i : i + 20]) for i in range(0, len(toks), 20)
+                )
+            )
+        return pa.table({"doc_id": b.column("doc_id"), "text": pa.array(texts)})
+
+    return ds.map_batches(
+        _chunked, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        CosineClusterStage,
+        fn_constructor_kwargs=dict(word_count_threshold=15, max_dist=0.7),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+
+
+def raw_markdown_demo(sf_dir: str):
+    """DefaultMarkdownGenerator pipeline over synthetic pages: html →
+    raw_markdown (html2text-fidelity converter, golden-tested char-for-char
+    vs the reference's CustomHTML2Text) → citation pass (rows-only)."""
+    from ..functions.markdown import convert_links_to_citations
+    from ..functions.markdown_gen import MarkdownConverter
+    from ..sources.corpus import CorpusParams, page_url, synthesize_html
+
+    params = CorpusParams(n_hosts=2, pages_per_host=40, seed=42)
+    items = [
+        {"url": page_url(params, h, p), "html": synthesize_html(params, h, p)}
+        for h in range(2)
+        for p in range(1, 40)
+    ]
+    ds = ray.data.from_items(items)
+
+    class _MdStage:
+        def __init__(self):
+            self.converter = MarkdownConverter()  # built once per actor
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            urls = b.column("url").to_pylist()
+            raw = [self.converter.convert(h or "") for h in b.column("html").to_pylist()]
+            cited = [convert_links_to_citations(m, u)[0] for m, u in zip(raw, urls)]
+            return pa.table(
+                {
+                    "url": pa.array(urls, type=pa.string()),
+                    "raw_markdown": pa.array(raw, type=pa.string()),
+                    "markdown_with_citations": pa.array(cited, type=pa.string()),
+                }
+            )
+
+    return ds.map_batches(
+        _MdStage, batch_format="pyarrow", concurrency=(1, 2), zero_copy_batch=True
+    )
+
+
+def seeder_cc_demo(sf_dir: str):
+    """Common-Crawl-seeder pipeline over the synthetic CC index transport
+    (reference _from_cc, async_url_seeder.py:810-863): retry/cache/glob and
+    match semantics unit-parity-tested; rows-only here (no SQL surface)."""
+    import tempfile
+
+    from ..sources.cc import SyntheticCCClient, cc_seed_urls
+
+    out = cc_seed_urls(
+        ["site0.test", "site1.test", "site2.test"],
+        client_factory=lambda: SyntheticCCClient(pages_per_domain=40),
+        cache_dir=tempfile.mkdtemp(prefix="cc_cache_"),
+        index_id="CC-TEST",
+        pattern="*/p/*",
+        max_urls=100,
+    )
+    return pa.Table.from_pylist(out.take_all())
+
+
+def head_filter_crawl_demo(sf_dir: str):
+    """E2E crawl gated by the head-based filters (reference
+    deep_crawling/filters.py:509-698): candidate links pass through a
+    FilterChain of SEOFilter + ContentRelevanceFilter whose head peeker hits
+    the synthetic transport — the fetch-head-before-enqueue semantics of the
+    reference's async filters, Ray-side (filters built per worker via
+    filter_factory).  Rows-only: decisions depend on peeked head HTML."""
+    import tempfile
+
+    from .crawl import CrawlConfig, CrawlEngine
+    from ..functions.filters import FilterChain
+    from ..functions.head_filters import (
+        ContentRelevanceFilter,
+        SEOFilter,
+        head_fetcher_from_transport,
+    )
+    from ..sources.corpus import CorpusParams, SyntheticTransport, robots_map
+
+    params = CorpusParams(n_hosts=2, pages_per_host=40, seed=42)
+    transport = SyntheticTransport(params)
+
+    def filter_factory():
+        peek = head_fetcher_from_transport(SyntheticTransport(params))
+        return FilterChain(
+            [
+                SEOFilter(peek, threshold=0.4, keywords=["page", "site"]),
+                ContentRelevanceFilter("synthetic crawl page", 0.5, peek),
+            ]
+        )
+
+    cfg = CrawlConfig(
+        max_depth=3, num_seen_shards=2, num_politeness_shards=1,
+        deterministic=True, filter_factory=filter_factory,
+    )
+    engine = CrawlEngine(
+        transport, cfg, tempfile.mkdtemp(prefix="head_filter_demo_"),
+        robots_bodies=robots_map(params),
+    )
+    engine.run(params.seeds())
+    docs = engine.docs_dataset()
+    try:
+        return pa.Table.from_pylist(
+            [
+                {"url": r["url"], "depth": r["depth"]}
+                for r in docs.select_columns(["url", "depth"]).take_all()
+            ]
+        )
+    finally:
+        engine.shutdown()
+
+
 # -------------------------------------------------------------------- crawl
 
 def crawl_bfs_demo(sf_dir: str):
@@ -912,6 +1075,341 @@ def crawl_bfs_demo(sf_dir: str):
     )
 
 
+# ===================================================== SQL oracle builders
+#
+# Several "no SQL equivalent" operators from round 1 are in fact DuckDB-
+# expressible once the engine's hashes are md5-based (hashing.py::md5_64):
+# the SQL below recomputes minhash signatures, simhash bits, rolling
+# fingerprints, hyperplane-LSH buckets and BM25 scores bit-identically.
+# These strings are generated at import time from the same seeds/constants
+# the engine uses — literal VALUES tables for permutations and planes.
+
+def _sql_hex64(expr: str) -> str:
+    """SQL for md5_64(expr): first 16 hex chars of md5 parsed big-endian into
+    a HUGEINT (DuckDB 1.0 can't CAST '0x…' strings, hence the list_reduce)."""
+    return (
+        "list_reduce(list_transform("
+        f"regexp_split_to_array(substr(md5({expr}), 1, 16), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+_SQL_TOKS_LOWER = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+_SQL_TOKS_RAW = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+
+def _sql_planes_values(n_planes: int, seed: int, dim: int = 64) -> str:
+    """The HyperplaneLSHStage plane matrix as a VALUES literal (repr() keeps
+    full float64 precision, so SQL dot products see identical planes)."""
+    planes = np.random.RandomState(seed).normal(size=(n_planes, dim))
+    rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(float(x)) for x in planes[i]))
+        for i in range(n_planes)
+    )
+    return f"(VALUES {rows})"
+
+
+def _sql_buckets_cte(n_planes: int, seed: int) -> str:
+    """CTEs computing each vector's hyperplane bucket (matches
+    HyperplaneLSHStage.__call__ sign bits)."""
+    return f"""
+planes(pid, pvec) AS (SELECT * FROM {_sql_planes_values(n_planes, seed)}),
+buckets AS (
+    SELECT e.vec_id,
+           CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pvec) > 0
+                         THEN (CAST(1 AS BIGINT) << CAST(p.pid AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+    FROM embeddings e CROSS JOIN planes p
+    GROUP BY e.vec_id
+)"""
+
+
+def _sql_knn_lsh() -> str:
+    return f"""
+WITH {_sql_buckets_cte(8, 7)},
+qb AS (SELECT bucket AS qkey FROM buckets WHERE vec_id = 0),
+near AS (
+    SELECT qkey AS k FROM qb
+    UNION
+    SELECT xor(qkey, CAST(1 AS BIGINT) << CAST(t.i AS INTEGER)) FROM qb, range(8) AS t(i)
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos
+FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+WHERE b.bucket IN (SELECT k FROM near)
+ORDER BY cos DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def _sql_embedding_neardup_lsh(threshold: float = 0.3) -> str:
+    return f"""
+WITH {_sql_buckets_cte(6, 7)}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+FROM buckets a
+JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])), 4) >= {threshold}
+"""
+
+
+def _sql_minhash_pairs(threshold: float = 0.5, num_perm: int = 64,
+                       band_rows: int = 8, seed: int = 1) -> str:
+    """Full SQL reimplementation of the minhash+LSH+jaccard-verify pipeline
+    (stages/dedup.py) — same md5 shingle hashes, same multiply-shift perms
+    from RandomState(seed), same '-'-joined decimal band keys."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 2**30, size=num_perm).astype(np.uint64) * 2 + 1
+    b = rng.randint(0, 2**31, size=num_perm).astype(np.uint64)
+    perm_rows = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, {_SQL_TOKS_LOWER} AS toks FROM documents
+),
+shing AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+           END AS sh_strs
+    FROM tok
+),
+sh AS (
+    SELECT doc_id, list_distinct(list_transform(sh_strs, s -> {_sql_hex64('s')})) AS shs
+    FROM shing
+),
+mins AS (
+    SELECT s.doc_id, p.pid,
+           CASE WHEN len(s.shs) = 0 THEN CAST('18446744073709551615' AS HUGEINT)
+                ELSE list_aggregate(
+                       list_transform(s.shs,
+                         h -> (h * p.a + p.b) % CAST('18446744073709551616' AS HUGEINT)),
+                       'min')
+           END AS sig
+    FROM sh s CROSS JOIN (VALUES {perm_rows}) AS p(pid, a, b)
+),
+bands AS (
+    SELECT doc_id, CAST(pid // {band_rows} AS INTEGER) AS band_idx,
+           array_to_string(array_agg(CAST(sig AS VARCHAR) ORDER BY pid), '-') AS band_key
+    FROM mins GROUP BY doc_id, pid // {band_rows}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+jac AS (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(sa.shs, sb.shs)) AS n_i,
+           len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS n_u
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       round(CASE WHEN n_u = 0 THEN 1.0 ELSE n_i * 1.0 / n_u END, 4) AS jaccard
+FROM jac
+WHERE (CASE WHEN n_u = 0 THEN 1.0 ELSE n_i * 1.0 / n_u END) >= {threshold}
+"""
+
+
+def _sql_simhash() -> str:
+    pow2_rows = ", ".join(
+        f"({i}, CAST('{1 << i}' AS HUGEINT))" for i in range(64)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, {_SQL_TOKS_LOWER} AS toks FROM documents
+),
+tf AS (
+    SELECT doc_id, u.t AS tk, count(*) AS cnt
+    FROM tok, unnest(toks) AS u(t)
+    GROUP BY doc_id, u.t
+),
+th AS (SELECT doc_id, {_sql_hex64('tk')} AS h, cnt FROM tf),
+bits AS (
+    SELECT th.doc_id, p.pw,
+           sum(CASE WHEN (th.h // p.pw) % 2 = 1 THEN th.cnt ELSE -th.cnt END) AS acc
+    FROM th CROSS JOIN (VALUES {pow2_rows}) AS p(i, pw)
+    GROUP BY th.doc_id, p.pw
+),
+sim AS (
+    SELECT doc_id, sum(CASE WHEN acc > 0 THEN pw ELSE CAST(0 AS HUGEINT) END) AS s
+    FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, lower(lpad(hex(CAST(COALESCE(sim.s, 0) AS UBIGINT)), 16, '0')) AS simhash
+FROM documents d LEFT JOIN sim ON d.doc_id = sim.doc_id
+"""
+
+
+def _sql_rolling_fingerprint() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS_RAW} AS toks FROM documents)
+SELECT doc_id,
+       CAST(list_reduce(
+              list_prepend(CAST(0 AS HUGEINT),
+                           list_transform(toks, t -> {_sql_hex64('t')})),
+              (acc, h) -> (acc * 1000003 + h) % 2305843009213693951)
+            AS BIGINT) AS fingerprint
+FROM tok
+"""
+
+
+def _sql_langid() -> str:
+    from ..functions.textstats import _STOPWORDS
+
+    def sw(lang):
+        return "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) + "]"
+
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang, COALESCE(text, '') AS tx,
+           list_transform({_SQL_TOKS_RAW.replace("text", "COALESCE(text, '')")}[1:200],
+                          x -> lower(x)) AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id, lang,
+           length(tx) AS n_chars,
+           len(regexp_extract_all(substr(tx, 1, 400), '[一-鿿]')) AS han,
+           length(substr(tx, 1, 400)) AS hlen,
+           len(toks) AS n,
+           len(list_filter(toks, x -> list_contains({sw('en')}, x))) AS c_en,
+           len(list_filter(toks, x -> list_contains({sw('de')}, x))) AS c_de,
+           len(list_filter(toks, x -> list_contains({sw('fr')}, x))) AS c_fr,
+           len(list_filter(toks, x -> list_contains({sw('es')}, x))) AS c_es
+    FROM t
+)
+SELECT doc_id, lang,
+       CASE
+         WHEN n_chars = 0 THEN 'und'
+         WHEN han > hlen * 0.2 THEN 'zh'
+         WHEN n = 0 THEN 'und'
+         WHEN greatest(c_en, c_de, c_fr, c_es) * 1.0 / n <= 0.02 THEN 'und'
+         WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+         WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+         WHEN c_fr >= c_es THEN 'fr'
+         ELSE 'es'
+       END AS predicted
+FROM s
+"""
+
+
+def _sql_bm25(query: str = "stream batch merge sort") -> str:
+    terms = sorted(set(query.lower().split()))
+    n = len(terms)
+    df_cols = ",\n           ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    raw_cols = ",\n           ".join(
+        f"ln(n_docs - df_{i} + 0.5) - ln(df_{i} + 0.5) AS raw_{i}"
+        for i in range(n)
+    )
+    avg_expr = " + ".join(f"raw_{i}" for i in range(n))
+    idf_cols = ",\n           ".join(
+        f"CASE WHEN raw_{i} >= 0 THEN raw_{i} ELSE 0.25 * (({avg_expr}) / {n}.0) END AS idf_{i}"
+        for i in range(n)
+    )
+    f_cols = ",\n           ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS f_{i}" for i, t in enumerate(terms)
+    )
+    contrib = " + ".join(
+        f"(CASE WHEN d.f_{i} = 0 THEN 0.0 "
+        f"ELSE i.idf_{i} * d.f_{i} * 2.5 / (d.f_{i} + 1.5 * (1 - 0.75 + 0.75 * d.dl / i.avgdl)) END)"
+        for i in range(n)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS_LOWER} AS toks FROM documents),
+stats AS (
+    SELECT count(*) AS n_docs, sum(len(toks)) AS total_len,
+           {df_cols}
+    FROM tok
+),
+raw AS (
+    SELECT n_docs, total_len * 1.0 / n_docs AS avgdl,
+           {raw_cols}
+    FROM stats
+),
+idf AS (
+    SELECT avgdl,
+           {idf_cols}
+    FROM raw
+),
+f AS (
+    SELECT doc_id, len(toks) AS dl,
+           {f_cols}
+    FROM tok
+)
+SELECT d.doc_id, round({contrib}, 6) AS bm25
+FROM f d, idf i
+"""
+
+
+def _sql_spans_flat() -> str:
+    return r"""
+WITH w AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+    FROM documents
+),
+c AS (
+    SELECT doc_id, CAST(u.ci AS INTEGER) AS ci,
+           array_to_string(words[u.ci * 12 + 1 : u.ci * 12 + 12], ' ') AS chunk
+    FROM w, UNNEST(range(CAST(ceil(len(words) / 12.0) AS BIGINT))) AS u(ci)
+)
+SELECT doc_id, CAST(ci + ci // 3 AS INTEGER) AS "offset", 'text' AS kind,
+       chunk AS text, '' AS media_ref
+FROM c
+UNION ALL
+SELECT doc_id, CAST(ci + ci // 3 + 1 AS INTEGER) AS "offset", 'image' AS kind,
+       '' AS text, 'media://doc' || doc_id || '/img' || CAST(ci // 3 AS VARCHAR) AS media_ref
+FROM c WHERE ci % 3 = 2
+"""
+
+
+def _sql_media_catalog() -> str:
+    """Media rows are the image spans of spans_flat; the engine's synthetic
+    payload is md5(ref) (ascii hex) and the fake decoder's meta is bytes of
+    md5(payload) — both recomputable as nested md5() calls in SQL."""
+    def hexpair(h_expr: str, pos: int) -> str:
+        return (
+            f"(CAST(strpos('0123456789abcdef', substr({h_expr}, {pos}, 1)) - 1 AS INTEGER) * 16"
+            f" + CAST(strpos('0123456789abcdef', substr({h_expr}, {pos + 1}, 1)) - 1 AS INTEGER))"
+        )
+
+    return f"""
+WITH w AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+    FROM documents
+),
+c AS (
+    SELECT doc_id, CAST(u.ci AS INTEGER) AS ci
+    FROM w, UNNEST(range(CAST(ceil(len(words) / 12.0) AS BIGINT))) AS u(ci)
+),
+m AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           'media://doc' || doc_id || '/img' || CAST(ci // 3 AS VARCHAR) AS media_ref,
+           'image' AS kind
+    FROM c WHERE ci % 3 = 2
+),
+h AS (SELECT doc_id, media_ref, kind, md5(md5(media_ref)) AS hh FROM m)
+SELECT doc_id, media_ref, kind,
+       64 + {hexpair('hh', 1)} AS width,
+       64 + {hexpair('hh', 3)} AS height,
+       'jpg' AS format
+FROM h
+"""
+
+
 # ================================================================== registry
 
 QUERIES = {
@@ -941,9 +1439,14 @@ QUERIES = {
     "chunks_fixed": chunks_fixed,
     "regex_numbers_events": regex_numbers_events,
     "structured_roundtrip": structured_roundtrip,
+    "structured_xpath_roundtrip": structured_xpath_roundtrip,
     "bm25_rank_docs": bm25_rank_docs,
     "fit_markdown_demo": fit_markdown_demo,
     "seeder_sitemap_demo": seeder_sitemap_demo,
+    "head_filter_crawl_demo": head_filter_crawl_demo,
+    "seeder_cc_demo": seeder_cc_demo,
+    "raw_markdown_demo": raw_markdown_demo,
+    "cosine_cluster_demo": cosine_cluster_demo,
     "adaptive_digest_demo": adaptive_digest_demo,
     "crawl_bfs_demo": crawl_bfs_demo,
 }
@@ -1084,8 +1587,22 @@ ORACLE_SQL = {
     "structured_roundtrip": """
         SELECT p_name AS name, p_brand AS brand, p_size FROM part
     """,
-    # bm25_rank_docs / langid_predict / doc_fingerprint_rolling / simhash_docs /
-    # minhash_neardup_pairs / knn_cosine_lsh / spans_flat / media_catalog /
-    # crawl_bfs_demo: no SQL equivalent (model scorers, custom hashes, LSH,
-    # stateful crawl) — rows-only check by design.
+    "structured_xpath_roundtrip": """
+        SELECT p_name AS name, p_brand AS brand, p_size FROM part
+    """,
+    # generated oracles (md5-based hashes + literal planes/permutations —
+    # see the SQL-builder section above)
+    "knn_cosine_lsh": _sql_knn_lsh(),
+    "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
+    "minhash_neardup_pairs": _sql_minhash_pairs(),
+    "simhash_docs": _sql_simhash(),
+    "doc_fingerprint_rolling": _sql_rolling_fingerprint(),
+    "langid_predict": _sql_langid(),
+    "bm25_rank_docs": _sql_bm25(),
+    "spans_flat": _sql_spans_flat(),
+    "media_catalog": _sql_media_catalog(),
+    # still rows-only by design: fit_markdown_demo / seeder_sitemap_demo /
+    # adaptive_digest_demo / crawl_bfs_demo / docs_interleaved run the crawl
+    # engine over synthetic sites (inputs aren't the parquet tables), and
+    # embedding_neardup's LSH sibling covers the SQL-checkable math.
 }

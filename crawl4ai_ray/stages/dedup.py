@@ -7,10 +7,10 @@ large-scale variants, each expressed Ray-Data-first:
   * exact dedup        — 64-bit content hash → groupby(hash) → min(id).
     The hash shrinks shuffle payload: the full text never shuffles.
   * minhash + LSH      — map_batches signature (stateful MinHasher per
-    worker) → flat_map band keys → groupby(band) emits candidate pairs →
-    exact jaccard verify inside map_groups.  Only signatures + doc ids
-    shuffle; texts for the verify step come from a broadcast (ray.put) dict
-    at test scale / a hash-join at production scale.
+    worker) → band keys → groupby(band) emits candidate pairs → exact
+    jaccard verify via a HASH JOIN of the pair ids against per-doc shingle
+    hash sets (8 bytes/shingle, never the text).  Nothing is broadcast and
+    nothing materializes on the driver — the 100-TB shape.
   * simhash            — signature column + bucket-by-prefix near-dup pairs.
   * embedding cosine   — see stages/similarity.py (shared matmul kernel).
 """
@@ -19,9 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import ray
 
-from ..functions.textstats import MinHasher, jaccard, shingles, simhash64
+from ..functions.textstats import MinHasher, shingle_hashes, shingles, simhash64
 from ..hashing import h64
 
 
@@ -82,7 +81,31 @@ class MinHashSignatureStage:
             {
                 "doc_id": pa.array(out_id),
                 "band_idx": pa.array(out_band_idx, type=pa.int32()),
-                "band_key": pa.array(out_band_key, type=pa.uint64()),
+                "band_key": pa.array(out_band_key, type=pa.string()),
+            }
+        )
+
+
+class ShingleHashStage:
+    """Stateless-but-compiled map_batches stage: text → distinct shingle md5
+    hashes, serialized to one binary cell per doc (uint64 little-endian) so
+    the pair⋈shingles hash join ships 8 bytes/shingle instead of the text
+    (and Arrow's acero join, which rejects list payloads, accepts it)."""
+
+    def __init__(self, shingle_k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+        self.shingle_k = shingle_k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "sh": pa.array(
+                    [shingle_hashes(t or "", self.shingle_k).tobytes() for t in texts],
+                    type=pa.binary(),
+                ),
             }
         )
 
@@ -125,34 +148,90 @@ def minhash_dedup_pairs(
     band_rows: int = 8,
     shingle_k: int = 3,
     seed: int = 1,
-    texts_lookup: dict | None = None,
+    num_partitions: int | None = None,
 ):
-    """Candidate pairs verified by exact n-gram jaccard ≥ threshold.
+    """Candidate pairs verified by exact n-gram jaccard ≥ threshold — the
+    100-TB shape: NO broadcast, NO driver materialization.
 
-    ``texts_lookup`` (doc_id → text) is broadcast via ray.put once and read
-    inside every verify task — the classic small-side broadcast; for corpora
-    where texts don't fit, replace with a hash-join of pairs against the
-    documents table on both sides.
+      pairs   = band groupby (ids only shuffle)
+      dedup   = groupby(id_a, id_b) first-row (a pair surfaces per band)
+      verify  = pairs ⋈ shingle_sets on id_a, then on id_b (hash join;
+                payload = packed uint64 shingle hashes, 8 B/shingle), then a
+                vectorized jaccard inside map_batches.
+
+    The CANDIDATE PAIRS materialize (ids only — tiny: near-dup candidates ≪
+    corpus) to break the deep DAG: with the minhash groupby, two join
+    aggregator pools and the actor stages all reserving resources in one
+    streaming DAG, small clusters deadlock.  The corpus-sized side (shingle
+    sets) never materializes — it streams into each join, recomputed per
+    pass (md5 CPU is cheap; holding a corpus-sized table in the object
+    store is not).  Jaccard over distinct md5-shingle-hash sets; results
+    round with DuckDB semantics so the SQL oracle (pipelines/queries.py
+    ORACLE_SQL['minhash_neardup_pairs']) hash-matches exactly.
     """
+    import ray
+
+    from ..functions.numeric import duck_round
+
+    if num_partitions is None:
+        # both joins' aggregator pools coexist in the streaming DAG; size
+        # them to the cluster so they schedule alongside the map/groupby
+        # stages (at 1.0 CPU each, 2×partitions aggregators deadlock small
+        # clusters — hence the fractional num_cpus below)
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(cpus // 2, 64))
+    agg_args = {"num_cpus": 0.25}
+
     pairs = minhash_candidate_pairs(ds, num_perm, band_rows, shingle_k, seed)
-    if texts_lookup is None:
-        raise ValueError("texts_lookup required (broadcast verify path)")
-    lookup_ref = ray.put(texts_lookup)
-    k = shingle_k
+
+    def _dedup_group(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
+        _dedup_group, batch_format="pyarrow"
+    ).materialize()
+
+    shingle_ds = ds.map_batches(
+        ShingleHashStage,
+        fn_constructor_kwargs=dict(shingle_k=shingle_k),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+
+    joined = pairs.join(
+        shingle_ds, "inner", num_partitions=num_partitions,
+        on=("id_a",), right_on=("doc_id",),
+        aggregator_ray_remote_args=agg_args,
+    ).rename_columns({"sh": "sh_a"}).join(
+        shingle_ds, "inner", num_partitions=num_partitions,
+        on=("id_b",), right_on=("doc_id",),
+        aggregator_ray_remote_args=agg_args,
+    ).rename_columns({"sh": "sh_b"})
 
     def _verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        seen_pairs = set()
         a_out, b_out, j_out = [], [], []
-        for a, b in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()):
-            if (a, b) in seen_pairs:
-                continue
-            seen_pairs.add((a, b))
-            jac = jaccard(shingles(lookup.get(a, ""), k), shingles(lookup.get(b, ""), k))
+        for a, b, sa, sb in zip(
+            batch.column("id_a").to_pylist(),
+            batch.column("id_b").to_pylist(),
+            batch.column("sh_a").to_pylist(),
+            batch.column("sh_b").to_pylist(),
+        ):
+            ha = np.frombuffer(sa, dtype=np.uint64)
+            hb = np.frombuffer(sb, dtype=np.uint64)
+            if len(ha) == 0 and len(hb) == 0:
+                jac = 1.0
+            else:
+                inter = len(np.intersect1d(ha, hb, assume_unique=True))
+                union = len(ha) + len(hb) - inter
+                jac = inter / union if union else 0.0
             if jac >= threshold:
                 a_out.append(a)
                 b_out.append(b)
-                j_out.append(round(jac, 4))
+                j_out.append(float(duck_round(jac, 4)))
         return pa.table(
             {
                 "id_a": pa.array(a_out, type=pa.int64()),
@@ -161,15 +240,7 @@ def minhash_dedup_pairs(
             }
         )
 
-    verified = pairs.map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)
-
-    # distinct pairs (a pair can surface from several bands): final dedup
-    def _dedup_group(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    return verified.groupby(["id_a", "id_b"]).map_groups(
-        _dedup_group, batch_format="pyarrow"
-    )
+    return joined.map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ----------------------------------------------------------------- simhash

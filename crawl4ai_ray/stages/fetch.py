@@ -13,7 +13,11 @@ batch.  Per batch it:
   3. sleeps until each URL's granted start time (no-op at zero delay);
   4. fetches via the pluggable transport (synthetic page generator in this
      sandbox; an HTTP transport mirroring async_crawler_strategy.py:2402-2481
-     slots into the same interface);
+     slots into the same interface) with up to ``max_sessions`` overlapped
+     fetches per actor (thread pool; each thread sleeps until ITS OWN grant
+     time, so per-host politeness spacing holds while other hosts proceed —
+     mirroring the reference's 20-session overlap,
+     async_dispatcher.py:155,411-437);
   5. reports status codes back to the politeness shards (backoff feedback).
 
 Output columns: input passthrough + ``html``, ``status_code``, ``success``.
@@ -37,6 +41,7 @@ class FetchStage:
         num_politeness_shards: int = 0,
         enforce_delays: bool = True,
         local_robots=None,
+        max_sessions: int = 20,
     ):
         """``local_robots``: a RobotsGate evaluated in-task instead of the
         blocking ``acquire`` RPC.  Used when the politeness budget is zero
@@ -50,9 +55,19 @@ class FetchStage:
         self.num_politeness = num_politeness_shards or len(self.politeness)
         self.enforce_delays = enforce_delays
         self.local_robots = local_robots
+        self.max_sessions = max_sessions
+        # thread pool is built lazily on first __call__ (in the worker):
+        # FetchStage is sometimes shipped as a pre-built closure, and a
+        # ThreadPoolExecutor doesn't pickle
+        self._pool = None
         from ..hashing import h64  # local import: actor serialization friendliness
 
         self._h64 = h64
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_pool"] = None  # executors don't pickle; rebuilt lazily per worker
+        return d
 
     def _schedule(self, urls: list[str], hosts: list[str]):
         """(allowed, start_ts) per URL via the owning politeness shards."""
@@ -106,25 +121,44 @@ class FetchStage:
         htmls: list[str] = [""] * len(urls)
         statuses: list[int] = [0] * len(urls)
 
-        # fetch in start-time order so one slow host doesn't delay others
+        # overlap fetches across the batch (each job honors its own grant
+        # time, so politeness spacing is per-host while hosts run in
+        # parallel); results land in index slots, so output order — and the
+        # downstream parity fold — is deterministic regardless of completion
+        # order
         order = sorted(range(len(urls)), key=lambda i: grants[i][1])
-        reported_hosts: list[str] = []
-        reported_status: list[int] = []
+        jobs: list[int] = []
         for i in order:
-            allowed, start = grants[i]
+            allowed, _start = grants[i]
             if not allowed:
                 statuses[i] = 403
-                continue
-            if self.enforce_delays and start > 0:
+            else:
+                jobs.append(i)
+
+        enforce = self.enforce_delays
+
+        def _fetch_one(i: int) -> tuple[int, int, str]:
+            start = grants[i][1]
+            if enforce and start > 0:
                 wait = start - time.time()
                 if wait > 0:
                     time.sleep(wait)
             status, html = self.transport.fetch(urls[i])
+            return i, status, html
+
+        if self.max_sessions > 1 and len(jobs) > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.max_sessions)
+            results = list(self._pool.map(_fetch_one, jobs))
+        else:
+            results = [_fetch_one(i) for i in jobs]
+        for i, status, html in results:
             statuses[i] = status
             htmls[i] = html
-            reported_hosts.append(hosts[i])
-            reported_status.append(status)
-        self._report(reported_hosts, reported_status)
+        # report in grant order (deterministic rate-limiter feedback)
+        self._report([hosts[i] for i in jobs], [statuses[i] for i in jobs])
 
         out = batch
         if "host" not in batch.column_names:

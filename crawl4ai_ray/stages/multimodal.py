@@ -73,16 +73,17 @@ class RealDecoder:
 
 
 class DeterministicFakeDecoder:
-    """Deterministic stand-in: metadata derived from the payload/ref hash so
-    tests can assert exact outputs."""
+    """Deterministic stand-in: metadata derived from md5(payload) so tests
+    AND the DuckDB oracle can recompute exact outputs (md5 is the hash both
+    sides share; see ORACLE_SQL['media_catalog'])."""
 
     def decode(self, payload: bytes, kind: str) -> dict:
-        h = hashlib.blake2b(payload, digest_size=8).digest()
+        h = hashlib.md5(payload).hexdigest()
         return {
-            "width": 64 + h[0],
-            "height": 64 + h[1],
+            "width": 64 + int(h[0:2], 16),
+            "height": 64 + int(h[2:4], 16),
             "format": {"image": "jpg", "video": "mp4", "audio": "mp3"}.get(kind, ""),
-            "n_frames": 1 + h[2] if kind == "video" else 1,
+            "n_frames": 1 + int(h[4:6], 16) if kind == "video" else 1,
         }
 
 
@@ -107,8 +108,9 @@ class MediaDecodeStage:
         out_payloads = []
         for ref, kind, payload in zip(refs, kinds, payloads):
             if not payload and self.synth_payload:
-                # synthetic payload derived from the ref (sandbox: no network)
-                payload = hashlib.blake2b(ref.encode(), digest_size=32).digest()
+                # synthetic payload derived from the ref (sandbox: no network);
+                # ascii hex so the SQL oracle can rebuild it as md5(ref)
+                payload = hashlib.md5(ref.encode()).hexdigest().encode()
             out_payloads.append(payload)
             metas.append(self.decoder.decode(payload, kind))
         out = batch.drop_columns(["payload", "meta"])

@@ -112,11 +112,23 @@ class HyperplaneLSHStage:
     worker from a fixed seed).  bucket = sign-bit prefix of the projection —
     vectors in the same bucket are near-duplicate candidates."""
 
-    def __init__(self, dim: int, n_planes: int = 16, seed: int = 7, vec_col: str = "embedding", id_col: str = "vec_id"):
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 7,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 passthrough: bool = False):
         rng = np.random.RandomState(seed)
         self.planes = rng.normal(size=(n_planes, dim))
         self.vec_col = vec_col
         self.id_col = id_col
+        self.passthrough = passthrough  # keep the vector column for in-pipeline verify
+
+    def bucket_of(self, vec: np.ndarray) -> int:
+        """Bucket key for a single vector (driver-side: key the query)."""
+        bits = (vec[None, :] @ self.planes.T) > 0
+        key = 0
+        for i in range(self.planes.shape[0]):
+            if bits[0, i]:
+                key |= 1 << i
+        return key
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _matrix(batch, self.vec_col)
@@ -124,65 +136,65 @@ class HyperplaneLSHStage:
         keys = np.zeros(len(m), dtype=np.uint64)
         for i in range(self.planes.shape[0]):
             keys |= bits[:, i].astype(np.uint64) << np.uint64(i)
-        return pa.table(
-            {
-                self.id_col: batch.column(self.id_col),
-                "bucket": pa.array(keys, type=pa.uint64()),
-            }
-        )
+        cols = {
+            self.id_col: batch.column(self.id_col),
+            "bucket": pa.array(keys, type=pa.uint64()),
+        }
+        if self.passthrough:
+            cols[self.vec_col] = batch.column(self.vec_col)
+        return pa.table(cols)
 
 
 def lsh_neardup_pairs(
     ds,
-    ids,
-    normalized_matrix,
+    dim: int,
     threshold: float = 0.8,
     n_planes: int = 12,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
-    """Scale-path near-dup: LSH bucket candidates → exact cosine verify.
+    """Scale-path near-dup: hyperplane LSH buckets → exact cosine verify
+    INSIDE the bucket group — nothing broadcast, nothing on the driver.
 
-    Candidate pairs come from hyperplane buckets (groupby bucket — ids only
-    shuffle); the verify stage looks both vectors up in the broadcast
-    normalized matrix and keeps cosine ≥ threshold.  Recall < 1 by design
-    (pairs split across every bucket are missed); raise recall with repeated
-    bands (seed variation) like minhash banding."""
-    id_to_row = {int(i): r for r, i in enumerate(ids)}
-    ref = ray.put((id_to_row, normalized_matrix))
-    dim = normalized_matrix.shape[1]
+    The signature stage passes the vector through, so the one groupby
+    (bucket) ships (id, vector) rows; each group then does a local pairwise
+    matmul and keeps cosine ≥ threshold.  With a single signature per vector
+    every pair lands in at most one bucket, so no pair-dedup pass is needed.
+    Recall < 1 by design (pairs split across buckets are missed); raise
+    recall with repeated bands (seed variation) like minhash banding."""
+    from ..functions.numeric import duck_round
 
-    def _verify(batch: pa.Table) -> pa.Table:
-        lookup, mat = ray.get(ref)
-        a_ids = batch.column("id_a").to_pylist()
-        b_ids = batch.column("id_b").to_pylist()
-        a_out, b_out, c_out = [], [], []
-        seen_pairs = set()
-        for a, b in zip(a_ids, b_ids):
-            if (a, b) in seen_pairs:
-                continue
-            seen_pairs.add((a, b))
-            cos = float(mat[lookup[a]] @ mat[lookup[b]])
-            if cos >= threshold:
-                a_out.append(a)
-                b_out.append(b)
-                c_out.append(round(cos, 4))
+    def _pairs(group: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(group, vec_col))
+        ids = np.asarray(group.column(id_col).to_numpy(zero_copy_only=False))
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        cos = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # threshold on the ROUNDED value, matching the SQL oracle's
+        # `WHERE round(cos, 4) >= t` — last-ulp float drift can't flip a row
+        rounded = duck_round(cos[iu, ju], 4) if len(iu) else np.empty(0)
+        keep = rounded >= threshold
         return pa.table(
             {
-                "id_a": pa.array(a_out, type=pa.int64()),
-                "id_b": pa.array(b_out, type=pa.int64()),
-                "cos": pa.array(c_out, type=pa.float64()),
+                "id_a": pa.array(ids[iu[keep]].tolist(), type=pa.int64()),
+                "id_b": pa.array(ids[ju[keep]].tolist(), type=pa.int64()),
+                "cos": pa.array(np.asarray(rounded)[keep].tolist(), type=pa.float64()),
             }
         )
 
-    pairs = lsh_bucket_pairs(ds, dim, n_planes, seed, id_col, vec_col)
-    verified = pairs.map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)
-
-    def _dedup(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    return verified.groupby(["id_a", "id_b"]).map_groups(_dedup, batch_format="pyarrow")
+    sigs = ds.map_batches(
+        HyperplaneLSHStage,
+        fn_constructor_kwargs=dict(
+            dim=dim, n_planes=n_planes, seed=seed,
+            vec_col=vec_col, id_col=id_col, passthrough=True,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+    return sigs.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
 
 
 def lsh_bucket_pairs(ds, dim: int, n_planes: int = 12, seed: int = 7,

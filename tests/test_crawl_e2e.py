@@ -463,3 +463,37 @@ def test_fetch_actor_pool_mode(tmp_path, ray_session):
     ta = sorted((r["url"], r["frontier_epoch"]) for r in _docs_table(a).select(["url", "frontier_epoch"]).to_pylist())
     tb = sorted((r["url"], r["frontier_epoch"]) for r in _docs_table(b).select(["url", "frontier_epoch"]).to_pylist())
     assert ta == tb
+
+
+def test_best_first_sharded_heap_equivalence(tmp_path, ray_session):
+    """Sharded-frontier Best-First (per-shard heap actors + k-way merge)
+    crawls the same page SET as the driver-heap parity mode.  Uncapped: with
+    a max_pages cap and tied scores the two tiebreaks (url vs insertion
+    seq) legitimately select different page subsets, so set-equality is the
+    exhaustive-crawl contract."""
+    params = CorpusParams(n_hosts=2, pages_per_host=20, seed=3)
+
+    def scorer_factory():
+        return KeywordRelevanceScorer(["p/1"])
+
+    base = dict(
+        strategy="best_first", max_depth=4, num_seen_shards=2,
+        fetch_batch_size=8, scorer_factory=scorer_factory, best_first_batch=10,
+    )
+    eng1, s1 = _run_engine(
+        tmp_path, params, CrawlConfig(**base), name="bf_heap"
+    )
+    eng2, s2 = _run_engine(
+        tmp_path, params, CrawlConfig(**base, best_first_sharded=True),
+        name="bf_sharded",
+    )
+    urls1 = sorted(r["url"] for r in _docs_table(eng1).select(["url"]).to_pylist())
+    urls2 = sorted(r["url"] for r in _docs_table(eng2).select(["url"]).to_pylist())
+    assert urls1 == urls2
+    assert s1["pages_crawled"] == s2["pages_crawled"]
+    # priority still drives batch assignment in sharded mode
+    d2 = [
+        (r["url"], r["frontier_epoch"])
+        for r in _docs_table(eng2).select(["url", "frontier_epoch"]).to_pylist()
+    ]
+    assert any("/p/1" in u for u, e in d2 if e <= 1)

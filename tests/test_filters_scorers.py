@@ -183,3 +183,95 @@ def test_parity_vs_reference_source():
     our_comp = CompositeScorer(ours_list)
     for u in urls:
         assert ref_comp.score(u) == our_comp.score(u), u
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not present")
+def test_head_filters_parity_vs_reference_source():
+    """SEOFilter + ContentRelevanceFilter: exec the reference module with
+    HeadPeekr stubbed to serve fixture heads (network is the only thing
+    replaced; scoring math runs the reference's own code) and compare
+    decisions exactly over a head-HTML × URL grid."""
+    import asyncio
+
+    from crawl4ai_ray.functions.head_filters import (
+        ContentRelevanceFilter as OurRelevance,
+        SEOFilter as OurSEO,
+        extract_meta_tags,
+        get_title,
+    )
+
+    heads = {
+        "http://x.test/good": (
+            "<head><title>A perfectly sized SEO title for testing pur</title>"
+            '<meta name="description" content="'
+            + "d" * 150
+            + '">'
+            '<meta name="keywords" content="alpha,beta">'
+            '<meta name="robots" content="index,follow">'
+            '<script type="application/ld+json">{}</script></head>'
+        ),
+        "http://x.test/noindex?q=1": (
+            "<head><title>tiny</title>"
+            '<meta name="robots" content="noindex"></head>'
+        ),
+        "http://x.test/2024_archive/post": (
+            "<head><title>Archive post about alpha and beta things he</title>"
+            '<meta name="description" content="alpha beta alpha beta gamma">'
+            "</head>"
+        ),
+        "http://x.test/nohead": "",
+        "http://x.test/rel": (
+            "<head><title>stream processing engines compared</title>"
+            '<meta name="description" content="a stream batch merge study">'
+            '<meta name="keywords" content="stream,batch"></head>'
+        ),
+    }
+
+    _gt, _emt = get_title, extract_meta_tags
+
+    class StubPeekr:
+        @staticmethod
+        async def peek_html(url, timeout=0.3):
+            return heads.get(url) or None
+
+        get_title = staticmethod(_gt)
+        extract_meta_tags = staticmethod(_emt)
+
+    src = open(f"{REF}/filters.py").read().replace(
+        "from ..utils import HeadPeekr", "HeadPeekr = None"
+    )
+    ns: dict = {}
+    exec(compile(src, "ref_filters", "exec"), ns)
+    ns["HeadPeekr"] = StubPeekr
+    # rebind the global the exec'd classes see
+    ns["ContentRelevanceFilter"].__init__.__globals__["HeadPeekr"] = StubPeekr
+
+    urls = list(heads)
+    peek = lambda u: heads.get(u) or None
+    for kw in (None, ["alpha", "beta"]):
+        for thr in (0.2, 0.45, 0.65):
+            ref = ns["SEOFilter"](threshold=thr, keywords=kw)
+            ours = OurSEO(peek, threshold=thr, keywords=kw)
+            for u in urls:
+                assert asyncio.run(ref.apply(u)) == ours.apply(u), ("seo", kw, thr, u)
+    for q in ("stream batch", ["alpha", "beta"], "absent terms"):
+        for thr in (0.1, 1.0, 2.5):
+            ref = ns["ContentRelevanceFilter"](query=q, threshold=thr)
+            ours = OurRelevance(q, thr, peek)
+            for u in urls:
+                assert asyncio.run(ref.apply(u)) == ours.apply(u), ("rel", q, thr, u)
+
+
+def test_head_meta_extraction_vectors():
+    from crawl4ai_ray.functions.head_filters import extract_meta_tags, get_title
+
+    head = (
+        "<head><title>T1</title>"
+        '<meta name="description" content="D">'
+        '<meta property="og:x" content="P">'
+        '<meta content="orphan">'
+        "<meta name='q'></head>"
+    )
+    assert get_title(head) == "T1"
+    assert extract_meta_tags(head) == {"description": "D", "og:x": "P"}
+    assert get_title("<p>no head</p>") is None

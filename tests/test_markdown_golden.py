@@ -1,0 +1,92 @@
+"""Markdown-fidelity goldens: html_to_markdown must match the reference's
+CustomHTML2Text configuration (body_width=0, single_line_break=True,
+mark_code=True — markdown_generation_strategy.py:181-200) char-for-char on
+the covered feature slice.  Two layers:
+
+  * hardcoded goldens (always run, no reference needed);
+  * exec-the-reference-converter parity over the feature grid AND full
+    synthetic corpus pages (runs when /root/reference is present).
+"""
+
+import os
+
+import pytest
+
+from crawl4ai_ray.functions.markdown_gen import html_to_markdown
+
+GOLDENS = [
+    ("<h1>Title</h1><p>Hello <b>bold</b> and <em>it</em>.</p>",
+     "# Title\nHello **bold** and _it_.\n"),
+    ('<p><a href="http://x/a" title="T">link</a></p>', '[link](http://x/a "T")\n'),
+    ("<a href='http://x/a'>http://x/a</a>", "<http://x/a>\n"),
+    ('<p><img src="http://x/i.jpg" alt="A"></p>', "![A](http://x/i.jpg)\n"),
+    ("<p>code <code>inline()</code> here</p>", "code `inline()` here\n"),
+    ("<pre><code>x = 1\ny = 2</code></pre>", "\n[code]\n    x = 1\n    y = 2\n[/code]\n"),
+    ("<ul><li>a</li><li>b</li></ul><p>after</p>", "  * a\n  * b\n\n\nafter\n"),
+    ("<ol><li>a</li><li>b</li></ol>", "  1. a\n  2. b\n\n\n"),
+    ("<ul><li>a<ul><li>n1</li></ul></li></ul>", "  * a\n    * n1\n\n\n"),
+    ("<blockquote><p>p1</p><p>p2</p></blockquote>", "> p1\n> p2\n"),
+    ("<p>line1<br>line2</p>", "line1  \nline2\n"),
+    ("<hr>", "* * *\n"),
+    ("<p><strong>s</strong><em>e</em></p>", "**s** _e_\n"),  # stressed-space rule
+    ("<p>a<b> spaced </b>b</p>", "a**spaced** b\n"),
+    ("<p><b>a</b>x</p>", "**a** x\n"),
+    ("<p><b>a</b>.</p>", "**a**.\n"),
+    ("<p><b>a</b><code>c</code></p>", "**a**`c`\n"),
+    ("<p>&amp; &lt; &gt; &quot; &#65;</p>", '& < > " A\n'),
+    ('<p><a href="/j">t</a> <a href="javascript:void(0)">js</a></p>',
+     "[t](/j) [js](javascript:void\\(0\\))\n"),
+    ("", "\n"),
+]
+
+
+@pytest.mark.parametrize("html,want", GOLDENS, ids=range(len(GOLDENS)))
+def test_markdown_goldens(html, want):
+    assert html_to_markdown(html) == want
+
+
+REF = "/root/reference/crawl4ai"
+
+
+@pytest.fixture(scope="module")
+def ref_convert():
+    if not os.path.isdir(f"{REF}/html2text"):
+        pytest.skip("reference not present")
+    # pre-import every stdlib module the vendored package touches, so the
+    # reference dir's types.py doesn't shadow stdlib `types` mid-import
+    import contextlib  # noqa: F401
+    import enum  # noqa: F401
+    import functools  # noqa: F401
+    import html.entities  # noqa: F401
+    import sys
+    import urllib.parse  # noqa: F401
+
+    sys.path.insert(0, REF)
+    try:
+        import html2text as ref_html2text
+    finally:
+        sys.path.remove(REF)
+
+    def _conv(s: str) -> str:
+        h = ref_html2text.HTML2Text()
+        h.body_width = 0
+        h.single_line_break = True
+        h.mark_code = True
+        return h.handle(s)
+
+    return _conv
+
+
+def test_markdown_parity_feature_grid(ref_convert):
+    for html, _want in GOLDENS:
+        assert html_to_markdown(html) == ref_convert(html), html
+
+
+def test_markdown_parity_synthetic_pages(ref_convert):
+    from crawl4ai_ray.sources.corpus import CorpusParams, synthesize_html
+
+    params = CorpusParams(n_hosts=2, pages_per_host=40, seed=42)
+    for h in range(2):
+        for p in range(1, 25):
+            page = synthesize_html(params, h, p)
+            assert html_to_markdown(page) == ref_convert(page), (h, p)

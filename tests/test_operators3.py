@@ -134,3 +134,292 @@ def test_join_head_data(ray_session):
     assert out["http://a.test/1"]["head_title"] == "T1"
     assert out["http://a.test/1"]["head_found"]
     assert not out["http://a.test/2"]["head_found"]
+
+
+# ------------------------------------------------------------------ xpath
+
+def test_xpath_select_subset():
+    """XPath engine behavior vectors (reference JsonXPathExtractionStrategy
+    semantics, extraction_strategy.py:1851-1914)."""
+    from crawl4ai_ray.functions.xpath_extract import xpath_select
+    from crawl4ai_ray.stages.extract import parse_dom
+
+    root = parse_dom(
+        '<div class="a" id="d1"><p>one</p><p data-x="v">two</p></div>'
+        '<div class="a b" id="d2"><p>three</p><section><p>deep</p></section></div>'
+    )
+    ids = lambda nodes: [n.get("id") for n in nodes]
+    txt = lambda nodes: [n.text_content() for n in nodes]
+
+    assert ids(xpath_select(root, "//div")) == ["d1", "d2"]
+    assert ids(xpath_select(root, "//div[@class='a']")) == ["d1"]
+    assert ids(xpath_select(root, "//div[contains(@class, 'b')]")) == ["d2"]
+    assert txt(xpath_select(root, "//div/p")) == ["one", "two", "three"]
+    assert txt(xpath_select(root, "//div//p")) == ["one", "two", "three", "deep"]
+    assert txt(xpath_select(root, "//div/p[1]")) == ["one", "three"]  # per parent
+    assert txt(xpath_select(root, "//div/p[last()]")) == ["two", "three"]
+    assert txt(xpath_select(root, "//p[@data-x]")) == ["two"]
+    assert txt(xpath_select(root, "//p[@data-x='v']")) == ["two"]
+    assert txt(xpath_select(root, "//section/p | //p[@data-x]")) == ["deep", "two"]
+    assert xpath_select(root, "//nope") == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        xpath_select(root, "//p[position() > 2]")  # outside subset: loud
+
+
+def test_xpath_extractor_text_not_collapsed():
+    """XPath text = joined descendants stripped (no whitespace collapsing) —
+    reference _get_element_text (:1906); CSS strategy collapses."""
+    from crawl4ai_ray.functions.structured_extract import JsonCssExtractor
+    from crawl4ai_ray.functions.xpath_extract import JsonXPathExtractor
+
+    html = '<div class="x"><h1> a  b </h1></div>'
+    schema_x = {
+        "baseSelector": "//div[@class='x']",
+        "fields": [{"name": "t", "selector": ".//h1", "type": "text"}],
+    }
+    schema_c = {
+        "baseSelector": "div.x",
+        "fields": [{"name": "t", "selector": "h1", "type": "text"}],
+    }
+    assert JsonXPathExtractor(schema_x).extract(html) == [{"t": "a  b"}]
+    assert JsonCssExtractor(schema_c).extract(html) == [{"t": "a b"}]
+
+
+def test_xpath_nested_and_list_fields():
+    from crawl4ai_ray.functions.xpath_extract import JsonXPathExtractor
+
+    html = (
+        '<article id="a1"><header><h2>T1</h2></header>'
+        "<ul><li>x</li><li>y</li></ul></article>"
+    )
+    schema = {
+        "baseSelector": "//article",
+        "fields": [
+            {
+                "name": "head",
+                "type": "nested",
+                "selector": ".//header",
+                "fields": [{"name": "title", "selector": ".//h2", "type": "text"}],
+            },
+            {
+                "name": "items",
+                "type": "list",
+                "selector": ".//ul/li",
+                "fields": [{"name": "v", "type": "text"}],
+            },
+            {"name": "aid", "type": "attribute", "attribute": "id"},
+        ],
+    }
+    assert JsonXPathExtractor(schema).extract(html) == [
+        {"head": {"title": "T1"}, "items": [{"v": "x"}, {"v": "y"}], "aid": "a1"}
+    ]
+
+
+# ------------------------------------------------------------------ cc seeder
+
+def test_cc_match_vectors():
+    """Reference _match semantics (async_url_seeder.py:178-183)."""
+    from crawl4ai_ray.sources.cc import cc_match
+
+    assert cc_match("http://a.test/p/1", "*/p/*")
+    assert cc_match("https://www.a.test/p/1", "a.test/p/*")  # www-stripped
+    assert cc_match("http://a.test/p/1", "a.test/*")  # scheme-stripped
+    assert not cc_match("http://a.test/q/1", "*/p/*")
+
+
+def test_cc_glob_construction():
+    from crawl4ai_ray.sources.cc import cc_glob_for_domain
+
+    assert cc_glob_for_domain("example.com") == "*.example.com/*"
+    assert cc_glob_for_domain("https://example.com") == "*.example.com/*"
+    assert cc_glob_for_domain("example.com/blog") == "*.example.com/blog*"
+    assert cc_glob_for_domain(".example.com?q=1#f") == "*.example.com/*"
+
+
+def test_cc_seeder_retry_cache_and_filter(tmp_path):
+    from crawl4ai_ray.sources.cc import CCHttpError, CCSeederSource, SyntheticCCClient
+
+    sleeps = []
+    # two 503s then success: reference schedule sleeps 1 then 3
+    client = SyntheticCCClient(pages_per_domain=10, fail_503=2)
+    src = CCSeederSource(client, str(tmp_path / "c1"), index_id="CC-TEST",
+                         sleep=sleeps.append)
+    got = list(src.urls_for_domain("site0.test", "*/p/*"))
+    assert len(got) == 10 and sleeps == [1, 3]
+
+    # cache hit: no further client calls, pattern applied on the cached file
+    n_calls = len(client.calls)
+    again = list(src.urls_for_domain("site0.test", "*/p/*"))
+    assert again == got and len(client.calls) == n_calls
+    subset = list(src.urls_for_domain("site0.test", "*/p/1*"))
+    assert subset == [u for u in got if "/p/1" in u]
+
+    # 4× 503 exhausts (1,3,7) and raises
+    bad = SyntheticCCClient(fail_503=4)
+    src_bad = CCSeederSource(bad, str(tmp_path / "c2"), index_id="CC-TEST",
+                             sleep=sleeps.append)
+    import pytest as _pytest
+
+    with _pytest.raises(CCHttpError):
+        list(src_bad.urls_for_domain("site1.test"))
+
+
+def test_cc_latest_index_ttl_cache(tmp_path):
+    from crawl4ai_ray.sources.cc import CCSeederSource, SyntheticCCClient
+
+    client = SyntheticCCClient()
+    src = CCSeederSource(client, str(tmp_path), sleep=lambda s: None)
+    assert src.index_id == "CC-MAIN-2024-10"
+    # second source in same cache dir reads the TTL cache, no collinfo call
+    n = len(client.calls)
+    src2 = CCSeederSource(client, str(tmp_path), sleep=lambda s: None)
+    assert src2.latest_index() == "CC-MAIN-2024-10" and len(client.calls) == n
+
+
+def test_cc_seed_urls_pipeline(tmp_path, ray_session):
+    from crawl4ai_ray.sources.cc import SyntheticCCClient, cc_seed_urls
+
+    out = cc_seed_urls(
+        ["site0.test", "site1.test"],
+        client_factory=lambda: SyntheticCCClient(pages_per_domain=5),
+        cache_dir=str(tmp_path / "cc"),
+        index_id="CC-TEST",
+        pattern="*/p/*",
+        max_urls=8,
+    ).take_all()
+    assert len(out) == 8
+    assert out[0]["domain"] == "site0.test" and "/p/" in out[0]["url"]
+
+
+# ------------------------------------------------------------- url config
+
+def test_url_config_is_match_vectors():
+    """Reference is_match semantics (async_configs.py:1570-1612)."""
+    from crawl4ai_ray.functions.url_config import MatchMode, UrlConfig
+
+    assert UrlConfig(None).is_match("http://x/a")  # no matcher ⇒ always
+    assert UrlConfig("*/docs/*").is_match("http://x/docs/a")
+    assert not UrlConfig("*/docs/*").is_match("http://x/blog/a")
+    assert UrlConfig(lambda u: "blog" in u).is_match("http://x/blog/a")
+    assert not UrlConfig([]).is_match("http://x/a")  # empty list ⇒ never
+    mixed = ["*/docs/*", lambda u: u.endswith(".pdf")]
+    assert UrlConfig(mixed).is_match("http://x/file.pdf")  # OR default
+    assert not UrlConfig(mixed, MatchMode.AND).is_match("http://x/file.pdf")
+    assert UrlConfig(mixed, MatchMode.AND).is_match("http://x/docs/file.pdf")
+
+
+def test_select_config_first_match_wins_and_skip():
+    from crawl4ai_ray.functions.url_config import UrlConfig, select_config
+
+    only = UrlConfig("*/a/*", payload={"k": 1})
+    assert select_config("http://x/zzz", only) is only  # single passthrough
+    assert select_config("http://x/a", []) is None
+    c1 = UrlConfig("*/docs/*", payload={"k": "docs"})
+    c2 = UrlConfig(None, payload={"k": "default"})
+    assert select_config("http://x/docs/1", [c1, c2]).payload["k"] == "docs"
+    assert select_config("http://x/other", [c1, c2]).payload["k"] == "default"
+    assert select_config("http://x/other", [c1]) is None  # skip
+
+
+def test_config_select_stage(ray_session):
+    import ray.data
+
+    from crawl4ai_ray.functions.url_config import ConfigSelectStage, UrlConfig
+
+    ds = ray.data.from_items(
+        [{"url": f"http://x/{p}/{i}"} for i, p in enumerate(["docs", "blog", "x"])]
+    )
+    out = ds.map_batches(
+        ConfigSelectStage,
+        fn_constructor_kwargs=dict(
+            configs=[UrlConfig("*/docs/*"), UrlConfig("*/blog/*")]
+        ),
+        batch_format="pyarrow",
+        concurrency=1,
+    ).take_all()
+    got = {r["url"]: r["config_idx"] for r in out}
+    assert got == {"http://x/docs/0": 0, "http://x/blog/1": 1}  # /x/ skipped
+
+
+# --------------------------------------------------------- cosine clustering
+
+def test_linkage_clusters_planted_groups():
+    """Two tight token-overlap groups + an outlier: the dendrogram cut must
+    recover exactly the planted partition (every linkage method)."""
+    import numpy as np
+
+    from crawl4ai_ray.functions.cosine_cluster import (
+        cosine_pdist,
+        fcluster_distance,
+        hashed_embedding,
+        linkage_merge_heights,
+    )
+
+    chunks = [
+        "alpha beta gamma delta alpha beta",
+        "alpha beta gamma delta epsilon",
+        "stream batch merge sort shuffle",
+        "stream batch merge sort partition",
+        "completely unrelated xylophone zebra quark",
+    ]
+    emb = hashed_embedding(chunks)
+    for method in ("single", "complete", "average", "ward"):
+        merges = linkage_merge_heights(cosine_pdist(emb), len(chunks), method)
+        labels = fcluster_distance(merges, len(chunks), max_dist=0.6)
+        assert labels[0] == labels[1], method
+        assert labels[2] == labels[3], method
+        assert labels[0] != labels[2] != labels[4], method
+        # heights are monotone non-decreasing for these methods
+        hs = [m[0] for m in merges]
+        assert all(b >= a - 1e-12 for a, b in zip(hs, hs[1:])), method
+
+
+def test_cosine_clusterer_reference_shape():
+    """Pipeline semantics: word-count filter drops small clusters, output is
+    [{index, tags, content}] sorted by label, semantic pre-filter backfills
+    to at_least_k (reference extraction_strategy.py:242-296,403-452)."""
+    from crawl4ai_ray.functions.cosine_cluster import CosineClusterer
+
+    cl = CosineClusterer(word_count_threshold=8, max_dist=0.6)
+    chunks = [
+        "alpha beta gamma delta alpha beta",
+        "alpha beta gamma delta epsilon",
+        "tiny one",  # its own cluster, under the word threshold → dropped
+    ]
+    out = cl.cluster(chunks)
+    assert len(out) == 1
+    assert set(out[0]) == {"index", "tags", "content"}
+    assert out[0]["content"].startswith("alpha beta gamma")
+    assert out[0]["tags"]  # tagger filled
+
+    # semantic pre-filter: query matches the stream-group only
+    cl2 = CosineClusterer(
+        semantic_filter="stream batch merge", word_count_threshold=2,
+        sim_threshold=0.5, max_dist=0.4,
+    )
+    docs = ["stream batch merge sort", "alpha beta gamma", "stream batch x"]
+    kept = cl2.filter_documents_embeddings(docs, cl2.semantic_filter, at_least_k=1)
+    assert kept[0] == "stream batch merge sort"
+
+
+def test_cosine_cluster_stage(ray_session):
+    import ray.data
+
+    from crawl4ai_ray.functions.cosine_cluster import CosineClusterStage
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta\nalpha beta gamma delta epsilon zeta eta iota"},
+            {"doc_id": 2, "text": "short\nbits"},
+        ]
+    )
+    out = ds.map_batches(
+        CosineClusterStage,
+        fn_constructor_kwargs=dict(word_count_threshold=8, max_dist=0.6),
+        batch_format="pyarrow",
+        concurrency=1,
+    ).take_all()
+    assert {r["doc_id"] for r in out} == {1}  # doc 2's clusters under threshold
+    assert all(r["content"] for r in out)

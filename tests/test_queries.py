@@ -105,9 +105,8 @@ def test_minhash_finds_planted_dups(ray_session):
         rows.append(
             {"doc_id": i, "text": f"unrelated document number {i} with totally distinct tokens {i * 7} {i * 13} stream batch merge sort filter join"}
         )
-    lookup = {r["doc_id"]: r["text"] for r in rows}
     ds = ray.data.from_items(rows)
-    pairs = _to_table(minhash_dedup_pairs(ds, threshold=0.5, texts_lookup=lookup))
+    pairs = _to_table(minhash_dedup_pairs(ds, threshold=0.5))
     found = {(r["id_a"], r["id_b"]) for r in pairs.to_pylist()}
     assert (0, 1) in found and (0, 2) in found and (1, 2) in found
     assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in found)
@@ -155,7 +154,7 @@ def test_lsh_neardup_recall(ray_session):
     }
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in lsh_neardup_pairs(ds, ids, m, threshold=0.9, n_planes=6).take_all()
+        for r in lsh_neardup_pairs(ds, dim=16, threshold=0.9, n_planes=6).take_all()
     }
     assert lsh <= brute  # verify stage kills any bucket false positive
     planted = {(i, 100 + i) for i in range(5)}

@@ -117,3 +117,102 @@ def test_bloom_shard_within_batch_dedup(ray_session):
     fresh2 = _ray.get(shard.check_and_add.remote(["a", "d"]))
     assert fresh2.tolist() == [False, True]
     _ray.kill(shard)
+
+
+def test_lance_sink_shim(tmp_path, ray_session):
+    """Format-abstraction point (input_hint names Lance; absent here):
+    selection resolves by availability, parquet fallback is live, and the
+    lance branch calls the ray-native sink."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from crawl4ai_ray.state import lance_sink
+
+    assert lance_sink.ACTIVE_FORMAT in ("lance", "parquet")
+    ds = ray.data.from_items([{"doc_id": "d1", "n": 1}, {"doc_id": "d2", "n": 2}])
+    fmt = lance_sink.write_docs_dataset(ds, str(tmp_path / "docs"))
+    assert fmt == lance_sink.ACTIVE_FORMAT
+    back = lance_sink.read_docs_dataset(str(tmp_path / "docs"), columns=["doc_id"])
+    assert sorted(r["doc_id"] for r in back.take_all()) == ["d1", "d2"]
+
+    import pyarrow as pa
+
+    fmt2 = lance_sink.write_table(
+        pa.table({"a": [1]}), str(tmp_path / "t"), use_lance=False
+    )
+    assert fmt2 == "parquet" and pq.read_table(str(tmp_path / "t.parquet")).num_rows == 1
+
+    class _FakeDs:
+        calls = []
+
+        def write_lance(self, path):
+            self.calls.append(("lance", path))
+
+        def write_parquet(self, path):
+            self.calls.append(("parquet", path))
+
+    fake = _FakeDs()
+    assert lance_sink.write_docs_dataset(fake, "/x", use_lance=True) == "lance"
+    assert fake.calls == [("lance", "/x")]
+
+
+def test_sharded_frontier_heap_global_order(ray_session):
+    """K-way merge over per-shard heaps delivers global (score desc, depth,
+    url) order with bounded driver rows; crawled set equals a single-heap
+    reference."""
+    import random
+
+    from crawl4ai_ray.state.frontier_heap import ShardedFrontierHeap
+
+    rng = random.Random(7)
+    rows = [
+        {
+            "url": f"http://site{i % 5}.test/p/{i}",
+            "host": f"site{i % 5}.test",
+            "score": round(rng.random() * 10, 3),
+            "depth": rng.randrange(4),
+            "parent_url": None,
+        }
+        for i in range(200)
+    ]
+    heap = ShardedFrontierHeap(num_shards=3)
+    try:
+        assert heap.push_batch(rows) == 200
+        # duplicate pushes are ignored while queued
+        assert heap.push_batch(rows[:10]) == 0
+
+        got = []
+        while True:
+            batch = heap.pop_global_batch(16)
+            if not batch:
+                break
+            got.extend(batch)
+        want = sorted(rows, key=lambda r: (-r["score"], r["depth"], r["url"]))
+        assert [r["url"] for r in got] == [r["url"] for r in want]
+        assert heap.total_size() == 0
+    finally:
+        heap.shutdown()
+
+
+def test_sharded_frontier_heap_aging(ray_session):
+    """age_all promotes entries queued BEFORE the bump past later
+    same-score arrivals (dispatcher wait-time promotion semantics)."""
+    from crawl4ai_ray.state.frontier_heap import ShardedFrontierHeap
+
+    heap = ShardedFrontierHeap(num_shards=2)
+    try:
+        heap.push_batch([
+            {"url": "http://a.test/old", "host": "a.test", "score": 1.0,
+             "depth": 0, "parent_url": None},
+        ])
+        heap.age_all(5.0)
+        heap.push_batch([
+            {"url": "http://a.test/new", "host": "a.test", "score": 4.0,
+             "depth": 0, "parent_url": None},
+        ])
+        batch = heap.pop_global_batch(2)
+        # old entry: effective 1+5=6 beats the newer 4
+        assert [r["url"] for r in batch] == ["http://a.test/old", "http://a.test/new"]
+        assert batch[0]["score"] == 6.0
+    finally:
+        heap.shutdown()
