@@ -118,6 +118,13 @@ QUERY_NAMES = [
     "knn_cosine_top10",
     "embedding_neardup",
     "spans_flat",
+    # round-2 additions: LSH scale paths, corpus BM25, XPath extraction,
+    # markdown generation
+    "knn_cosine_lsh",
+    "embedding_neardup_lsh",
+    "bm25_rank_docs",
+    "structured_xpath_roundtrip",
+    "raw_markdown_demo",
 ]
 
 

@@ -8,9 +8,10 @@ large-scale variants, each expressed Ray-Data-first:
     The hash shrinks shuffle payload: the full text never shuffles.
   * minhash + LSH      — map_batches signature (stateful MinHasher per
     worker) → band keys → groupby(band) emits candidate pairs → exact
-    jaccard verify via a HASH JOIN of the pair ids against per-doc shingle
-    hash sets (8 bytes/shingle, never the text).  Nothing is broadcast and
-    nothing materializes on the driver — the 100-TB shape.
+    jaccard verify over per-doc shingle-hash sets (8 bytes/shingle, never
+    the text): semi-join pushdown + O(pairs) broadcast when candidates are
+    few, distributed hash joins above a threshold.  The corpus never
+    broadcasts and never materializes on the driver in either regime.
   * simhash            — signature column + bucket-by-prefix near-dup pairs.
   * embedding cosine   — see stages/similarity.py (shared matmul kernel).
 """
@@ -132,7 +133,7 @@ def minhash_candidate_pairs(ds, num_perm=64, band_rows=8, shingle_k=3, seed=1):
             num_perm=num_perm, band_rows=band_rows, shingle_k=shingle_k, seed=seed
         ),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=(1, 16),
         zero_copy_batch=True,
     )
     pairs = sigs.groupby(["band_idx", "band_key"]).map_groups(
@@ -149,6 +150,7 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
     seed: int = 1,
     num_partitions: int | None = None,
+    broadcast_pairs_threshold: int = 200_000,
 ):
     """Candidate pairs verified by exact n-gram jaccard ≥ threshold — the
     100-TB shape: NO broadcast, NO driver materialization.
@@ -163,10 +165,20 @@ def minhash_dedup_pairs(
     corpus) to break the deep DAG: with the minhash groupby, two join
     aggregator pools and the actor stages all reserving resources in one
     streaming DAG, small clusters deadlock.  The corpus-sized side (shingle
-    sets) never materializes — it streams into each join, recomputed per
-    pass (md5 CPU is cheap; holding a corpus-sized table in the object
-    store is not).  Jaccard over distinct md5-shingle-hash sets; results
-    round with DuckDB semantics so the SQL oracle (pipelines/queries.py
+    sets) never materializes in either regime.
+
+    Verify is SIZE-ADAPTIVE on the (now known) pair count:
+      * ≤ ``broadcast_pairs_threshold``: semi-join pushdown — the candidate
+        ID set (ints only) filters the documents scan, shingle hashes are
+        computed for candidate docs ONLY, and that provably-small lookup
+        (O(pairs), never O(corpus)) broadcasts via ray.put into a single
+        verify map.  Joins at this size pay two aggregator-pool spin-ups
+        for nothing (measured 15 s for 255 pairs at sf0.1).
+      * above it: two distributed hash joins (pairs ⋈ shingles on id_a,
+        id_b) — nothing driver-held, the 100-TB regime.
+
+    Jaccard over distinct md5-shingle-hash sets; results round with DuckDB
+    semantics so the SQL oracle (pipelines/queries.py
     ORACLE_SQL['minhash_neardup_pairs']) hash-matches exactly.
     """
     import ray
@@ -194,31 +206,13 @@ def minhash_dedup_pairs(
         _dedup_group, batch_format="pyarrow"
     ).materialize()
 
-    shingle_ds = ds.map_batches(
-        ShingleHashStage,
-        fn_constructor_kwargs=dict(shingle_k=shingle_k),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        zero_copy_batch=True,
-    )
-
-    joined = pairs.join(
-        shingle_ds, "inner", num_partitions=num_partitions,
-        on=("id_a",), right_on=("doc_id",),
-        aggregator_ray_remote_args=agg_args,
-    ).rename_columns({"sh": "sh_a"}).join(
-        shingle_ds, "inner", num_partitions=num_partitions,
-        on=("id_b",), right_on=("doc_id",),
-        aggregator_ray_remote_args=agg_args,
-    ).rename_columns({"sh": "sh_b"})
-
-    def _verify(batch: pa.Table) -> pa.Table:
+    def _verify_from(batch: pa.Table, sh_a_col, sh_b_col) -> pa.Table:
         a_out, b_out, j_out = [], [], []
         for a, b, sa, sb in zip(
             batch.column("id_a").to_pylist(),
             batch.column("id_b").to_pylist(),
-            batch.column("sh_a").to_pylist(),
-            batch.column("sh_b").to_pylist(),
+            sh_a_col,
+            sh_b_col,
         ):
             ha = np.frombuffer(sa, dtype=np.uint64)
             hb = np.frombuffer(sb, dtype=np.uint64)
@@ -238,6 +232,78 @@ def minhash_dedup_pairs(
                 "id_b": pa.array(b_out, type=pa.int64()),
                 "jaccard": pa.array(j_out, type=pa.float64()),
             }
+        )
+
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pairs.map_batches(
+            lambda b: pa.table(
+                {"id_a": pa.array([], type=pa.int64()),
+                 "id_b": pa.array([], type=pa.int64()),
+                 "jaccard": pa.array([], type=pa.float64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    if n_pairs <= broadcast_pairs_threshold:
+        # semi-join pushdown: filter the documents SCAN by candidate ids,
+        # hash shingles for those docs only, broadcast the O(pairs) lookup
+        import pyarrow.compute as pc
+
+        pair_rows = pairs.take_all()  # ids only, ≤ threshold rows
+        cand_ids = pa.array(
+            sorted({r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows})
+        )
+
+        def _only_candidates(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b.column("doc_id"), value_set=cand_ids))
+
+        sh_rows = (
+            ds.map_batches(_only_candidates, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(
+                ShingleHashStage,
+                fn_constructor_kwargs=dict(shingle_k=shingle_k),
+                batch_format="pyarrow",
+                concurrency=(1, 16),
+                zero_copy_batch=True,
+            )
+            .take_all()
+        )
+        lookup_ref = ray.put({r["doc_id"]: r["sh"] for r in sh_rows})
+
+        def _verify_broadcast(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(lookup_ref)
+            return _verify_from(
+                batch,
+                [lookup.get(a, b"") for a in batch.column("id_a").to_pylist()],
+                [lookup.get(b, b"") for b in batch.column("id_b").to_pylist()],
+            )
+
+        return pairs.map_batches(
+            _verify_broadcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    shingle_ds = ds.map_batches(
+        ShingleHashStage,
+        fn_constructor_kwargs=dict(shingle_k=shingle_k),
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+        zero_copy_batch=True,
+    )
+
+    joined = pairs.join(
+        shingle_ds, "inner", num_partitions=num_partitions,
+        on=("id_a",), right_on=("doc_id",),
+        aggregator_ray_remote_args=agg_args,
+    ).rename_columns({"sh": "sh_a"}).join(
+        shingle_ds, "inner", num_partitions=num_partitions,
+        on=("id_b",), right_on=("doc_id",),
+        aggregator_ray_remote_args=agg_args,
+    ).rename_columns({"sh": "sh_b"})
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        return _verify_from(
+            batch, batch.column("sh_a").to_pylist(), batch.column("sh_b").to_pylist()
         )
 
     return joined.map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)

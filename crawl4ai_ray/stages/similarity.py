@@ -191,7 +191,7 @@ def lsh_neardup_pairs(
             vec_col=vec_col, id_col=id_col, passthrough=True,
         ),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=(1, 16),
         zero_copy_batch=True,
     )
     return sigs.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
@@ -215,7 +215,7 @@ def lsh_bucket_pairs(ds, dim: int, n_planes: int = 12, seed: int = 7,
         HyperplaneLSHStage,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=(1, 16),
         zero_copy_batch=True,
     )
     return sigs.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")

@@ -106,10 +106,14 @@ def test_minhash_finds_planted_dups(ray_session):
             {"doc_id": i, "text": f"unrelated document number {i} with totally distinct tokens {i * 7} {i * 13} stream batch merge sort filter join"}
         )
     ds = ray.data.from_items(rows)
-    pairs = _to_table(minhash_dedup_pairs(ds, threshold=0.5))
-    found = {(r["id_a"], r["id_b"]) for r in pairs.to_pylist()}
-    assert (0, 1) in found and (0, 2) in found and (1, 2) in found
-    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in found)
+    expected = {(0, 1), (0, 2), (1, 2)}
+    # both verify regimes must agree: semi-join broadcast (default at this
+    # size) and the distributed hash-join path (forced via threshold=0)
+    for threshold_kwargs in ({}, {"broadcast_pairs_threshold": 0}):
+        pairs = _to_table(minhash_dedup_pairs(ds, threshold=0.5, **threshold_kwargs))
+        found = {(r["id_a"], r["id_b"]) for r in pairs.to_pylist()}
+        assert expected <= found, threshold_kwargs
+        assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in found), threshold_kwargs
 
 
 def test_media_catalog_deterministic_meta(ray_session):
