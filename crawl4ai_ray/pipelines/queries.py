@@ -464,6 +464,16 @@ def simhash_docs(sf_dir: str):
     return simhash_signatures(ds)
 
 
+def simhash_neardup_pairs(sf_dir: str):
+    """SimHash near-dup pairs: 16-bit-band candidate groupby → in-group
+    hamming ≤ 3 verify (signatures ride the shuffle; recall 1 at radius 3 by
+    pigeonhole).  Fully SQL-oracled."""
+    from ..stages.dedup import simhash_neardup_pairs as _pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _pairs(ds, max_hamming=3)
+
+
 def minhash_neardup_pairs(sf_dir: str):
     """MinHash+LSH near-dup pairs verified by exact n-gram jaccard via a
     shingle-hash join — no broadcast, no driver materialization; full SQL
@@ -527,6 +537,18 @@ def knn_cosine_lsh(sf_dir: str):
 
     cand = sigs.map_batches(_in_near_bucket, batch_format="pyarrow", zero_copy_batch=True)
     return knn_cosine(cand, q, k=10)
+
+
+def knn_cosine_ivf(sf_dir: str):
+    """IVF ANN: bounded-sample k-means centroids → in-pipeline cluster
+    probe → exact cosine re-rank (rows-only: centroids are iterative;
+    recall vs brute force characterized in tests)."""
+    from ..stages.similarity import ivf_knn, train_ivf_centroids
+
+    q = _query_vec(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = train_ivf_centroids(ds, n_centroids=8, seed=11)
+    return ivf_knn(ds, q, centroids, k=10, nprobe=5)
 
 
 def embedding_neardup(sf_dir: str, threshold: float = 0.3):
@@ -701,6 +723,24 @@ def chunks_fixed(sf_dir: str, chunk_size: int = 50):
         ChunkStage,
         fn_constructor_kwargs=dict(
             chunker_factory=lambda: FixedLengthWordChunking(chunk_size)
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        zero_copy_batch=True,
+    )
+
+
+def chunks_sliding(sf_dir: str, window: int = 40, step: int = 20):
+    """SlidingWindowChunking over documents (reference
+    chunking_strategy.py sliding-window semantics incl. the tail window);
+    SQL-oracled."""
+    from ..functions.chunking import ChunkStage, SlidingWindowChunking
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        ChunkStage,
+        fn_constructor_kwargs=dict(
+            chunker_factory=lambda: SlidingWindowChunking(window, step)
         ),
         batch_format="pyarrow",
         concurrency=(1, 2),
@@ -1222,12 +1262,14 @@ WHERE (CASE WHEN n_u = 0 THEN 1.0 ELSE n_i * 1.0 / n_u END) >= {threshold}
 """
 
 
-def _sql_simhash() -> str:
+def _sql_simhash_ctes() -> str:
+    """Shared CTE chain ending in sim_full(doc_id, s) — every document's
+    64-bit simhash as a HUGEINT (0 for token-less docs, matching
+    simhash64(''))."""
     pow2_rows = ", ".join(
         f"({i}, CAST('{1 << i}' AS HUGEINT))" for i in range(64)
     )
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
     SELECT doc_id, {_SQL_TOKS_LOWER} AS toks FROM documents
 ),
 tf AS (
@@ -1245,9 +1287,45 @@ bits AS (
 sim AS (
     SELECT doc_id, sum(CASE WHEN acc > 0 THEN pw ELSE CAST(0 AS HUGEINT) END) AS s
     FROM bits GROUP BY doc_id
+),
+sim_full AS (
+    SELECT d.doc_id, CAST(COALESCE(sim.s, 0) AS HUGEINT) AS s
+    FROM documents d LEFT JOIN sim ON d.doc_id = sim.doc_id
+)"""
+
+
+def _sql_simhash() -> str:
+    return f"""
+WITH {_sql_simhash_ctes()}
+SELECT doc_id, lower(lpad(hex(CAST(s AS UBIGINT)), 16, '0')) AS simhash
+FROM sim_full
+"""
+
+
+def _sql_simhash_pairs(max_hamming: int = 3, n_bands: int = 4) -> str:
+    """SQL twin of stages/dedup.py::simhash_neardup_pairs: 16-bit band
+    self-join candidates, bit_count(xor) hamming verify."""
+    bits = 64 // n_bands
+    band_rows = ", ".join(
+        f"({b}, CAST('{1 << (b * bits)}' AS HUGEINT))" for b in range(n_bands)
+    )
+    ham = "bit_count(xor(CAST(sa AS UBIGINT), CAST(sb AS UBIGINT)))"
+    return f"""
+WITH {_sql_simhash_ctes()},
+bands AS (
+    SELECT doc_id, p.i AS band_idx,
+           CAST((s // p.p) % {1 << bits} AS BIGINT) AS band_val, s
+    FROM sim_full, (VALUES {band_rows}) AS p(i, p)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
 )
-SELECT d.doc_id, lower(lpad(hex(CAST(COALESCE(sim.s, 0) AS UBIGINT)), 16, '0')) AS simhash
-FROM documents d LEFT JOIN sim ON d.doc_id = sim.doc_id
+SELECT id_a, id_b, CAST({ham} AS INTEGER) AS hamming
+FROM cand
+WHERE {ham} <= {max_hamming}
 """
 
 
@@ -1428,15 +1506,18 @@ QUERIES = {
     "langid_predict": langid_predict,
     "doc_fingerprint_rolling": doc_fingerprint_rolling,
     "simhash_docs": simhash_docs,
+    "simhash_neardup_pairs": simhash_neardup_pairs,
     "minhash_neardup_pairs": minhash_neardup_pairs,
     "knn_cosine_top10": knn_cosine_top10,
     "knn_cosine_lsh": knn_cosine_lsh,
+    "knn_cosine_ivf": knn_cosine_ivf,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "docs_interleaved": docs_interleaved,
     "spans_flat": spans_flat,
     "media_catalog": media_catalog,
     "chunks_fixed": chunks_fixed,
+    "chunks_sliding": chunks_sliding,
     "regex_numbers_events": regex_numbers_events,
     "structured_roundtrip": structured_roundtrip,
     "structured_xpath_roundtrip": structured_xpath_roundtrip,
@@ -1579,6 +1660,31 @@ ORACLE_SQL = {
                array_to_string(words[u.gs * 50 + 1 : u.gs * 50 + 50], ' ') AS chunk
         FROM w, UNNEST(range(CAST(ceil(len(words) / 50.0) AS BIGINT))) AS u(gs)
     """,
+    # SlidingWindowChunking: windows at stride `step`, plus a final
+    # last-`window`-words tail when the stride didn't reach the end; short
+    # docs return the ORIGINAL text (not rejoined words)
+    "chunks_sliding": r"""
+        WITH w AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+            FROM documents
+        ),
+        base AS (SELECT doc_id, text, words, len(words) AS n FROM w),
+        big AS (
+            SELECT doc_id, words, n, (n - 40) // 20 AS last_step
+            FROM base WHERE n > 40
+        )
+        SELECT doc_id, CAST(0 AS INTEGER) AS chunk_idx, text AS chunk
+        FROM base WHERE n <= 40
+        UNION ALL
+        SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
+               array_to_string(words[u.i * 20 + 1 : u.i * 20 + 40], ' ') AS chunk
+        FROM big, UNNEST(range(last_step + 1)) AS u(i)
+        UNION ALL
+        SELECT doc_id, CAST(last_step + 1 AS INTEGER) AS chunk_idx,
+               array_to_string(words[n - 39 : n], ' ') AS chunk
+        FROM big WHERE last_step * 20 + 40 < n
+    """,
     "regex_numbers_events": r"""
         SELECT event_id,
                unnest(regexp_extract_all(props, '\b\d{1,3}(?:[,.\s]\d{3})*(?:\.\d+)?\b')) AS value
@@ -1596,6 +1702,7 @@ ORACLE_SQL = {
     "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
     "minhash_neardup_pairs": _sql_minhash_pairs(),
     "simhash_docs": _sql_simhash(),
+    "simhash_neardup_pairs": _sql_simhash_pairs(),
     "doc_fingerprint_rolling": _sql_rolling_fingerprint(),
     "langid_predict": _sql_langid(),
     "bm25_rank_docs": _sql_bm25(),

@@ -310,6 +310,88 @@ def minhash_dedup_pairs(
 
 
 # ----------------------------------------------------------------- simhash
+class SimHashBandStage:
+    """Stateful map_batches stage: text → one row per 16-bit simhash band
+    (doc_id, band_idx, band_val, sim).  With 64-bit signatures and 4 bands,
+    any pair within hamming distance 3 shares at least one identical band
+    (pigeonhole), so the band groupby is a recall-1 candidate generator for
+    near-dups at that radius."""
+
+    def __init__(self, n_bands: int = 4, text_col: str = "text", id_col: str = "doc_id"):
+        assert 64 % n_bands == 0
+        self.n_bands = n_bands
+        self.bits = 64 // n_bands
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col).to_pylist()
+        mask = (1 << self.bits) - 1
+        out_id, out_bidx, out_bval, out_sim = [], [], [], []
+        for i, t in zip(ids, texts):
+            s = simhash64(t or "")
+            for b in range(self.n_bands):
+                out_id.append(i)
+                out_bidx.append(b)
+                out_bval.append((s >> (b * self.bits)) & mask)
+                out_sim.append(s)
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id, type=pa.int64()),
+                "band_idx": pa.array(out_bidx, type=pa.int32()),
+                "band_val": pa.array(out_bval, type=pa.int64()),
+                "sim": pa.array(out_sim, type=pa.uint64()),
+            }
+        )
+
+
+def simhash_neardup_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
+                          text_col: str = "text", id_col: str = "doc_id"):
+    """SimHash near-dup pairs: band groupby → in-group pairwise hamming ≤
+    ``max_hamming`` (signatures ride the shuffle — 8 B/row — so the verify
+    needs no lookup side at all) → pair dedup (a pair can match in several
+    bands).  Fully SQL-oracled (ORACLE_SQL['simhash_neardup_pairs'])."""
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        sims = group.column("sim").to_pylist()
+        order = np.argsort(ids)
+        a_out, b_out, h_out = [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                h = bin(sims[i] ^ sims[j]).count("1")
+                if h <= max_hamming:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    h_out.append(h)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, type=pa.int64()),
+                "id_b": pa.array(b_out, type=pa.int64()),
+                "hamming": pa.array(h_out, type=pa.int32()),
+            }
+        )
+
+    def _dedup_group(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    bands = ds.map_batches(
+        SimHashBandStage,
+        fn_constructor_kwargs=dict(n_bands=n_bands, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+        zero_copy_batch=True,
+    )
+    pairs = bands.groupby(["band_idx", "band_val"]).map_groups(
+        _pairs, batch_format="pyarrow"
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        _dedup_group, batch_format="pyarrow"
+    )
+
+
 def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
     def _sig(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()

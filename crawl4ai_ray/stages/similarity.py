@@ -197,6 +197,87 @@ def lsh_neardup_pairs(
     return sigs.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
 
 
+# ----------------------------------------------------------------- IVF ANN
+def train_ivf_centroids(ds, n_centroids: int = 16, n_iters: int = 8,
+                        sample_size: int = 2048, seed: int = 11,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Mini k-means (cosine/spherical) on a BOUNDED sample — the standard
+    IVF training step: the sample (≤ sample_size rows) is the only data the
+    driver ever holds; the resulting centroid matrix is tiny and broadcasts.
+    Deterministic under the seed (fixed init, fixed iteration count)."""
+    sample = ds.limit(sample_size).take_all()
+    m = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(m))
+    centroids = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(m @ centroids.T, axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+class IVFAssignStage:
+    """map_batches stage: nearest-centroid assignment (centroid matrix in
+    the closure — a small broadcast); passthrough keeps the vector for the
+    in-pipeline probe filter + exact re-rank."""
+
+    def __init__(self, centroids: np.ndarray, vec_col: str = "embedding",
+                 id_col: str = "vec_id", passthrough: bool = True):
+        self.centroids = centroids
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.passthrough = passthrough
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch, self.vec_col))
+        assign = np.argmax(m @ self.centroids.T, axis=1).astype(np.int32)
+        cols = {
+            self.id_col: batch.column(self.id_col),
+            "cluster": pa.array(assign, type=pa.int32()),
+        }
+        if self.passthrough:
+            cols[self.vec_col] = batch.column(self.vec_col)
+        return pa.table(cols)
+
+
+def ivf_knn(ds, query_vec, centroids: np.ndarray, k: int = 10,
+            nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
+    query, filter candidates to those clusters INSIDE the pipeline, then
+    exact cosine re-rank (knn_cosine's local-top-k + tiny driver merge).
+    Recall < 1 when true neighbors sit in unprobed cells — raise nprobe."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(centroids @ qn))[:nprobe].astype(np.int32)
+    probe_arr = pa.array(sorted(int(c) for c in probe), type=pa.int32())
+
+    assigned = ds.map_batches(
+        IVFAssignStage,
+        fn_constructor_kwargs=dict(
+            centroids=centroids, vec_col=vec_col, id_col=id_col, passthrough=True
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+        zero_copy_batch=True,
+    )
+
+    def _in_probed(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("cluster"), value_set=probe_arr)).drop_columns(
+            ["cluster"]
+        )
+
+    cand = assigned.map_batches(_in_probed, batch_format="pyarrow", zero_copy_batch=True)
+    return knn_cosine(cand, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def lsh_bucket_pairs(ds, dim: int, n_planes: int = 12, seed: int = 7,
                      id_col: str = "vec_id", vec_col: str = "embedding"):
     """Scale path: bucket by hyperplane signature, emit candidate pairs per

@@ -181,3 +181,47 @@ def test_docs_interleaved_contract(ray_session):
     pa.table(
         {"doc_id": tbl.column("doc_id"), "spans": tbl.column("spans")}
     ).cast(DOCS_SCHEMA)
+
+
+def test_simhash_pairs_planted_dups(ray_session):
+    """Planted near-identical docs must surface as simhash pairs at
+    hamming ≤ 3; unrelated docs must not."""
+    import ray.data
+
+    from crawl4ai_ray.stages.dedup import simhash_neardup_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "by the warm fire and the mouse runs through the old wooden house "
+        "near the tall green hill beyond the quiet river"
+    )
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("warm", "cold")},
+        {"doc_id": 2, "text": base},  # exact dup → hamming 0
+    ]
+    for i in range(3, 40):
+        rows.append(
+            {"doc_id": i,
+             "text": f"unrelated {i} stream batch merge sort filter join shard {i*7} {i*13} vector index scan probe"}
+        )
+    pairs = _to_table(simhash_neardup_pairs(ray.data.from_items(rows)))
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.to_pylist()}
+    assert found.get((0, 2)) == 0  # exact dup
+    assert (0, 1) in found or (1, 2) in found  # near-dup within radius
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in found)
+
+
+def test_ivf_knn_recall_vs_brute(ray_session):
+    """IVF probe-and-rerank: results ⊆ exact ranking universe, top-1
+    recovered, recall@10 ≥ 0.5 at nprobe=5/8 cells on sf0.001."""
+    from crawl4ai_ray.pipelines.queries import _query_vec, knn_cosine_ivf
+    from crawl4ai_ray.stages.similarity import knn_cosine
+    import ray.data
+
+    q = _query_vec(SF)
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = knn_cosine(ds, q, k=10).column("vec_id").to_pylist()
+    approx = _to_table(knn_cosine_ivf(SF)).column("vec_id").to_pylist()
+    assert approx[0] == exact[0] == 0  # the query vector itself
+    assert len(set(approx) & set(exact)) >= 5
