@@ -134,6 +134,12 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     from crawl4ai_ray.pipelines.queries import QUERIES
 
+    # warm the worker pool once so the first query's timing measures the
+    # query, not Ray process startup (~3-5 s on this VM)
+    import ray.data as _rd
+
+    _rd.range(num_cpus * 2).map_batches(lambda b: b).count()
+
     timings = {}
     for name in QUERY_NAMES:
         t0 = time.time()

@@ -374,6 +374,27 @@ def token_counts(sf_dir: str):
     return ds.map_batches(_count, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def token_counts_bpe(sf_dir: str):
+    """BPE-ish pre-tokenization counts (textstats.bpe_ish_tokens — words,
+    numbers, single punctuation); SQL-oracled via regexp_extract_all."""
+    from ..functions.textstats import bpe_ish_tokens
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _count(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_bpe_tokens": pa.array(
+                    [len(bpe_ish_tokens(t or "")) for t in b.column("text").to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(_count, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quality_scores(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -852,6 +873,39 @@ def structured_xpath_roundtrip(sf_dir: str):
     return ds.map_batches(_render_and_extract, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def table_roundtrip(sf_dir: str):
+    """DefaultTableExtraction round-trip: render part rows as an HTML data
+    table (thead + tbody), extract back through the scoring gate + colspan
+    walker — value-exact vs the source table (SQL-oracled)."""
+    from ..functions.table_extract import extract_tables
+
+    ds = _read(sf_dir, "part", columns=["p_name", "p_brand", "p_size"])
+
+    def _render_and_extract(b: pa.Table) -> pa.Table:
+        body = "".join(
+            f"<tr><td>{n}</td><td>{br}</td><td>{s}</td></tr>"
+            for n, br, s in zip(
+                b.column("p_name").to_pylist(),
+                b.column("p_brand").to_pylist(),
+                b.column("p_size").to_pylist(),
+            )
+        )
+        html = (
+            "<table><thead><tr><th>name</th><th>brand</th><th>p_size</th></tr></thead>"
+            f"<tbody>{body}</tbody></table>"
+        )
+        [t] = extract_tables(html)
+        return pa.table(
+            {
+                "name": pa.array([r[0] for r in t["rows"]], type=pa.string()),
+                "brand": pa.array([r[1] for r in t["rows"]], type=pa.string()),
+                "p_size": pa.array([int(r[2]) for r in t["rows"]], type=pa.int32()),
+            }
+        )
+
+    return ds.map_batches(_render_and_extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def bm25_rank_docs(sf_dir: str, query: str = "stream batch merge sort"):
     """Corpus-level BM25 (barrier aggregation: DF stats combined then
     broadcast — SURVEY.md §2.7) over documents (rows-only: Okapi floor
@@ -966,11 +1020,13 @@ def cosine_cluster_demo(sf_dir: str):
 
 
 def raw_markdown_demo(sf_dir: str):
-    """DefaultMarkdownGenerator pipeline over synthetic pages: html →
-    raw_markdown (html2text-fidelity converter, golden-tested char-for-char
-    vs the reference's CustomHTML2Text) → citation pass (rows-only)."""
-    from ..functions.markdown import convert_links_to_citations
-    from ..functions.markdown_gen import MarkdownConverter
+    """DefaultMarkdownGenerator pipeline over synthetic pages — the full
+    MarkdownGenerationResult surface (markdown_generation_strategy.py:
+    149-250): raw_markdown (html2text-fidelity converter, golden-tested
+    char-for-char vs the reference's CustomHTML2Text), citations,
+    references, and fit_markdown from a PruningContentFilter (rows-only)."""
+    from ..functions.content_filter import PruningContentFilter
+    from ..functions.markdown import MarkdownGenStage
     from ..sources.corpus import CorpusParams, page_url, synthesize_html
 
     params = CorpusParams(n_hosts=2, pages_per_host=40, seed=42)
@@ -980,25 +1036,14 @@ def raw_markdown_demo(sf_dir: str):
         for p in range(1, 40)
     ]
     ds = ray.data.from_items(items)
-
-    class _MdStage:
-        def __init__(self):
-            self.converter = MarkdownConverter()  # built once per actor
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            urls = b.column("url").to_pylist()
-            raw = [self.converter.convert(h or "") for h in b.column("html").to_pylist()]
-            cited = [convert_links_to_citations(m, u)[0] for m, u in zip(raw, urls)]
-            return pa.table(
-                {
-                    "url": pa.array(urls, type=pa.string()),
-                    "raw_markdown": pa.array(raw, type=pa.string()),
-                    "markdown_with_citations": pa.array(cited, type=pa.string()),
-                }
-            )
-
     return ds.map_batches(
-        _MdStage, batch_format="pyarrow", concurrency=(1, 2), zero_copy_batch=True
+        MarkdownGenStage,
+        fn_constructor_kwargs=dict(
+            content_filter_factory=lambda: PruningContentFilter(threshold=0.3)
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        zero_copy_batch=True,
     )
 
 
@@ -1500,6 +1545,7 @@ QUERIES = {
     "user_session_stats": user_session_stats,
     "dedup_exact": dedup_exact,
     "token_counts": token_counts,
+    "token_counts_bpe": token_counts_bpe,
     "quality_scores": quality_scores,
     "lang_distribution": lang_distribution,
     "fingerprint_md5": fingerprint_md5,
@@ -1521,6 +1567,7 @@ QUERIES = {
     "regex_numbers_events": regex_numbers_events,
     "structured_roundtrip": structured_roundtrip,
     "structured_xpath_roundtrip": structured_xpath_roundtrip,
+    "table_roundtrip": table_roundtrip,
     "bm25_rank_docs": bm25_rank_docs,
     "fit_markdown_demo": fit_markdown_demo,
     "seeder_sitemap_demo": seeder_sitemap_demo,
@@ -1616,6 +1663,11 @@ ORACLE_SQL = {
                len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
         FROM documents
     """,
+    "token_counts_bpe": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+(''[a-z]+)?|\d+|[^\sA-Za-z\d]')) AS n_bpe_tokens
+        FROM documents
+    """,
     "quality_scores": r"""
         SELECT doc_id,
                length(text) AS n_chars,
@@ -1694,6 +1746,9 @@ ORACLE_SQL = {
         SELECT p_name AS name, p_brand AS brand, p_size FROM part
     """,
     "structured_xpath_roundtrip": """
+        SELECT p_name AS name, p_brand AS brand, p_size FROM part
+    """,
+    "table_roundtrip": """
         SELECT p_name AS name, p_brand AS brand, p_size FROM part
     """,
     # generated oracles (md5-based hashes + literal planes/permutations —

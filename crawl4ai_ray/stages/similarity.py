@@ -42,15 +42,20 @@ def knn_cosine(ds, query_vec, k: int = 10, id_col: str = "vec_id", vec_col: str 
     q_ref = ray.put(q)
 
     def _local_topk(batch: pa.Table) -> pa.Table:
+        from ..functions.numeric import duck_round
+
         qv = ray.get(q_ref)
         m = _normalize(_matrix(batch, vec_col))
         cos = m @ qv
         ids = np.asarray(batch.column(id_col).to_numpy(zero_copy_only=False))
-        order = np.lexsort((ids, -np.round(cos, 4)))[:k]
+        # duck_round (half away from zero), matching the SQL oracle's
+        # round(): np.round is half-to-even and can disagree at .00005
+        rounded = np.asarray(duck_round(cos, 4))
+        order = np.lexsort((ids, -rounded))[:k]
         return pa.table(
             {
                 id_col: pa.array(ids[order].tolist(), type=pa.int64()),
-                "cos": pa.array(np.round(cos[order], 4).tolist(), type=pa.float64()),
+                "cos": pa.array(rounded[order].tolist(), type=pa.float64()),
             }
         )
 

@@ -90,3 +90,22 @@ def test_markdown_parity_synthetic_pages(ref_convert):
         for p in range(1, 25):
             page = synthesize_html(params, h, p)
             assert html_to_markdown(page) == ref_convert(page), (h, p)
+
+
+def test_generate_markdown_result_fields():
+    """MarkdownGenerationResult parity shape: citations rewrite into ⟨n⟩
+    with a references section, fit_markdown derives from the filtered
+    blocks wrapped in <div>s (markdown_generation_strategy.py:230-250)."""
+    from crawl4ai_ray.functions.content_filter import PruningContentFilter
+    from crawl4ai_ray.functions.markdown import generate_markdown
+    from crawl4ai_ray.sources.corpus import CorpusParams, synthesize_html
+
+    page = synthesize_html(CorpusParams(n_hosts=1, pages_per_host=20, seed=5), 0, 3)
+    r = generate_markdown(page, "http://site0.test/p/3", PruningContentFilter(0.3))
+    assert r["raw_markdown"].startswith("Home >")
+    assert "⟨1⟩" in r["markdown_with_citations"]
+    assert r["references_markdown"].startswith("\n\n## References")
+    assert r["fit_html"].startswith("<div>") and r["fit_markdown"].strip()
+    # no filter → fit fields empty, citations off → raw passthrough
+    r2 = generate_markdown(page, citations=False)
+    assert r2["fit_markdown"] == "" and r2["markdown_with_citations"] == r2["raw_markdown"]

@@ -238,3 +238,136 @@ def test_page_query_fallbacks():
         parse_dom("<head><title>T</title><meta name='keywords' content='k1 k2'></head><body><h1>H</h1></body>")
     )
     assert q == "T H k1 k2"
+
+
+# --------------------------------------------------- chunker parity fuzz
+
+import os as _os
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.path.isfile("/root/reference/crawl4ai/chunking_strategy.py"),
+    reason="reference not present",
+)
+def test_chunkers_parity_vs_reference_source():
+    """Exec the reference chunking module (nltk loader stubbed — only
+    NlpSentenceChunking needs it and that one is skipped) and compare
+    chunk lists exactly for Identity/Regex/Fixed/Sliding/Overlapping over
+    a text grid including the edge shapes (short doc, exact multiple,
+    stride tail, empty)."""
+    src = open("/root/reference/crawl4ai/chunking_strategy.py").read().replace(
+        "from .model_loader import load_nltk_punkt", "load_nltk_punkt = None"
+    )
+    ns: dict = {}
+    exec(compile(src, "ref_chunking", "exec"), ns)
+
+    from crawl4ai_ray.functions.chunking import (
+        FixedLengthWordChunking,
+        IdentityChunking,
+        OverlappingWindowChunking,
+        RegexChunking,
+        SlidingWindowChunking,
+    )
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    texts = [
+        "",
+        "one",
+        " ".join(words[:5]),
+        " ".join(words),           # 20 words
+        " ".join(words * 3),       # 60 words
+        " ".join(words * 3) + "  trailing   spaces ",
+        "para one.\n\npara two!\n\npara three?",
+        "a\nb\nc",
+    ]
+    cases = [
+        ("IdentityChunking", IdentityChunking, (), {}),
+        ("RegexChunking", RegexChunking, (), {}),
+        ("RegexChunking", RegexChunking, ([r"\n"],), {}),
+        ("FixedLengthWordChunking", FixedLengthWordChunking, (7,), {}),
+        ("FixedLengthWordChunking", FixedLengthWordChunking, (20,), {}),
+        ("SlidingWindowChunking", SlidingWindowChunking, (), dict(window_size=10, step=4)),
+        ("SlidingWindowChunking", SlidingWindowChunking, (), dict(window_size=20, step=20)),
+        ("OverlappingWindowChunking", OverlappingWindowChunking, (), dict(window_size=15, overlap=5)),
+    ]
+    for name, cls, args, kwargs in cases:
+        ref = ns[name](*args, **kwargs)
+        ours = cls(*args, **kwargs)
+        for t in texts:
+            assert ref.chunk(t) == ours.chunk(t), (name, args, kwargs, t[:40])
+
+
+# ------------------------------------------------------- table extraction
+
+def test_table_scoring_data_vs_layout():
+    """Reference is_data_table vectors (table_extraction.py:125-211):
+    structured data tables pass the threshold, layout/presentation/nested
+    tables fail."""
+    from crawl4ai_ray.functions.table_extract import extract_tables
+
+    data_table = (
+        "<table summary='stats'><caption>Quarterly</caption>"
+        "<thead><tr><th>Region</th><th>Revenue</th></tr></thead>"
+        "<tbody><tr><td>North America</td><td>1,234,567</td></tr>"
+        "<tr><td>Europe and Asia</td><td>2,345,678</td></tr></tbody></table>"
+    )
+    assert len(extract_tables(data_table)) == 1
+
+    layout = "<table role='presentation'><tr><td><div>nav</div></td></tr></table>"
+    assert extract_tables(layout) == []
+
+    nested = (
+        "<table><tr><td><table><tr><td>inner</td></tr></table></td></tr></table>"
+    )
+    assert extract_tables(nested) == []
+
+
+def test_table_extract_structure_colspan_and_defaults():
+    from crawl4ai_ray.functions.table_extract import extract_tables
+
+    html = (
+        "<table><caption>Cap</caption>"
+        "<thead><tr><th colspan='2'>AB</th><th>C</th></tr></thead>"
+        "<tbody><tr><td>longer cell text one</td><td>two</td><td>three</td></tr>"
+        "<tr><td colspan='3'>span all the way across here</td></tr></tbody></table>"
+    )
+    [t] = extract_tables(html, table_score_threshold=5)
+    assert t["headers"] == ["AB", "AB", "C"]
+    assert t["rows"][0] == ["longer cell text one", "two", "three"]
+    assert t["rows"][1] == ["span all the way across here"] * 3
+    assert t["caption"] == "Cap"
+    assert t["metadata"]["has_headers"] and t["metadata"]["column_count"] == 3
+
+    # no headers anywhere → Column N defaults
+    bare = (
+        "<table><tr><td>alpha beta gamma delta</td><td>epsilon zeta eta</td></tr>"
+        "<tr><td>theta iota kappa lambda</td><td>mu nu xi omicron</td></tr></table>"
+    )
+    [t2] = extract_tables(bare, table_score_threshold=4)
+    # first row doubles as headers when no thead exists (reference rule)
+    assert t2["headers"] == ["alpha beta gamma delta", "epsilon zeta eta"]
+
+
+def test_table_extract_stage(ray_session):
+    import ray.data
+
+    from crawl4ai_ray.functions.table_extract import TableExtractStage
+
+    html = (
+        "<table summary='s'><thead><tr><th>H1</th><th>H2</th></tr></thead>"
+        "<tbody><tr><td>some longer data value</td><td>another data value</td></tr>"
+        "<tr><td>third data value here</td><td>fourth data value</td></tr></tbody></table>"
+    )
+    ds = ray.data.from_items([{"url": "http://x/t", "html": html},
+                              {"url": "http://x/none", "html": "<p>no tables</p>"}])
+    out = ds.map_batches(
+        TableExtractStage, batch_format="pyarrow", concurrency=1
+    ).take_all()
+    assert len(out) == 1
+    assert out[0]["url"] == "http://x/t" and out[0]["headers"] == ["H1", "H2"]
+    import json as _json
+
+    assert _json.loads(out[0]["rows_json"])[0][0] == "some longer data value"
