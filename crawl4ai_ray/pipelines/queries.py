@@ -347,6 +347,71 @@ def user_session_stats(sf_dir: str, gap_s: int = 1800):
     )
 
 
+def events_asof_orders(sf_dir: str):
+    """Backward AS-OF JOIN (custom operator — Dataset API has none): each
+    event matched with the user's latest order at or before the event
+    timestamp; ties on date take the larger orderkey.  SQL-oracled via
+    LATERAL."""
+    from ..stages.asofjoin import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    return asof_join(
+        events, orders, key_col="user_id", right_key_col="o_custkey",
+        left_ts_col="ts", right_ts_col="o_orderdate",
+        left_cols=["event_id", "user_id"],
+        right_cols=["o_orderkey"],
+        right_tie_col="o_orderkey",
+    )
+
+
+def events_hopping_windows(sf_dir: str):
+    """Hopping-window aggregate (size 2h, hop 1h): each event lands in two
+    windows (flat-map of window starts) → partial counts/sums → tiny
+    groupby.  SQL-oracled via a shifted-trunc UNION ALL."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def _windows(b: pa.Table) -> pa.Table:
+        from ..functions.numeric import cents
+
+        hour = pc.floor_temporal(b.column("ts"), unit="hour")
+        prev = pc.subtract(
+            hour.cast(pa.int64()), pa.scalar(3_600_000_000, type=pa.int64())
+        ).cast(pa.timestamp("us"))
+        vc = pa.array(cents(_np(b, "value")), type=pa.int64())
+        et = b.column("event_type")
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays(
+                    [et.combine_chunks(), et.combine_chunks()]
+                ),
+                "window_start": pa.concat_arrays(
+                    [hour.combine_chunks(), prev.combine_chunks()]
+                ),
+                "value_c": pa.concat_arrays([vc, vc]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_windows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum(on="value_c", alias_name="value_c"))
+    )
+    rows = agg.take_all()
+    return pa.table(
+        {
+            "event_type": pa.array([r["event_type"] for r in rows], type=pa.string()),
+            "window_start": pa.array(
+                [r["window_start"] for r in rows], type=pa.timestamp("us")
+            ),
+            "n_events": pa.array([r["n_events"] for r in rows], type=pa.int64()),
+            "total_value": pa.array(
+                [r["value_c"] / 100.0 for r in rows], type=pa.float64()
+            ),
+        }
+    )
+
+
 # --------------------------------------------------------------- documents
 
 def dedup_exact(sf_dir: str):
@@ -1543,6 +1608,8 @@ QUERIES = {
     "revenue_by_returnflag": revenue_by_returnflag,
     "events_by_type_day": events_by_type_day,
     "user_session_stats": user_session_stats,
+    "events_asof_orders": events_asof_orders,
+    "events_hopping_windows": events_hopping_windows,
     "dedup_exact": dedup_exact,
     "token_counts": token_counts,
     "token_counts_bpe": token_counts_bpe,
@@ -1652,6 +1719,32 @@ ORACLE_SQL = {
                count(*) AS n_events
         FROM marked
         GROUP BY user_id
+    """,
+    "events_asof_orders": """
+        SELECT e.event_id, e.user_id, o.o_orderkey
+        FROM events e
+        LEFT JOIN LATERAL (
+            SELECT o_orderkey
+            FROM orders
+            WHERE o_custkey = e.user_id
+              AND CAST(o_orderdate AS TIMESTAMP) <= e.ts
+            ORDER BY CAST(o_orderdate AS TIMESTAMP) DESC, o_orderkey DESC
+            LIMIT 1
+        ) o ON TRUE
+    """,
+    "events_hopping_windows": """
+        WITH w AS (
+            SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, value
+            FROM events
+            UNION ALL
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP), value
+            FROM events
+        )
+        SELECT event_type, ws AS window_start, count(*) AS n_events,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+        FROM w
+        GROUP BY event_type, ws
     """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id

@@ -371,3 +371,35 @@ def test_table_extract_stage(ray_session):
     import json as _json
 
     assert _json.loads(out[0]["rows_json"])[0][0] == "some longer data value"
+
+
+# ------------------------------------------------------------- as-of join
+
+def test_asof_join_edges(ray_session):
+    """Backward as-of: latest right ≤ left ts; date ties take the larger
+    tie column; no prior right row → null; keys with no right rows at all
+    → null."""
+    import ray.data
+
+    from crawl4ai_ray.stages.asofjoin import asof_join
+
+    left = ray.data.from_items([
+        {"eid": 1, "k": 7, "ts": 1000},
+        {"eid": 2, "k": 7, "ts": 50},     # before every right row
+        {"eid": 3, "k": 7, "ts": 200},    # exactly at a tie pair
+        {"eid": 4, "k": 9, "ts": 500},    # key with no right rows
+    ])
+    right = ray.data.from_items([
+        {"k": 7, "rts": 100, "oid": 11},
+        {"k": 7, "rts": 200, "oid": 12},  # tie on ts=200 …
+        {"k": 7, "rts": 200, "oid": 13},  # … larger oid wins
+        {"k": 7, "rts": 900, "oid": 14},
+    ])
+    out = {
+        r["eid"]: r["oid"]
+        for r in asof_join(
+            left, right, key_col="k", left_ts_col="ts", right_ts_col="rts",
+            left_cols=["eid", "k"], right_cols=["oid"], right_tie_col="oid",
+        ).take_all()
+    }
+    assert out == {1: 14, 2: None, 3: 13, 4: None}
