@@ -412,6 +412,53 @@ def events_hopping_windows(sf_dir: str):
     )
 
 
+_VALUE_BANDS = [(i, float(i * 50), float((i + 1) * 50)) for i in range(10)]  # [0,500)
+
+
+def events_value_bands(sf_dir: str):
+    """RANGE JOIN (custom operator): events.value binned into [lo, hi)
+    bands.  The band table is the SMALL side, so the scale-correct shape is
+    a broadcast + vectorized searchsorted inside map_batches (never a
+    shuffle); a large interval table would instead partition by interval —
+    documented in the docstring, not needed here.  SQL-oracled via a
+    non-equi VALUES join."""
+    ds = _read(sf_dir, "events", columns=["value"])
+    los = np.asarray([b[1] for b in _VALUE_BANDS])
+
+    def _assign(b: pa.Table) -> pa.Table:
+        from ..functions.numeric import cents
+
+        v = _np(b, "value")
+        band = np.searchsorted(los, v, side="right") - 1
+        ok = (band >= 0) & (v < _VALUE_BANDS[-1][2])
+        return pa.table(
+            {
+                "band_id": pa.array(band[ok].astype(np.int32), type=pa.int32()),
+                "value_c": pa.array(cents(v[ok]), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band_id")
+        .aggregate(Count(alias_name="n_events"), Sum(on="value_c", alias_name="value_c"))
+    )
+    rows = agg.take_all()
+    lo = {b[0]: b[1] for b in _VALUE_BANDS}
+    hi = {b[0]: b[2] for b in _VALUE_BANDS}
+    return pa.table(
+        {
+            "band_id": pa.array([r["band_id"] for r in rows], type=pa.int32()),
+            "lo": pa.array([lo[r["band_id"]] for r in rows], type=pa.float64()),
+            "hi": pa.array([hi[r["band_id"]] for r in rows], type=pa.float64()),
+            "n_events": pa.array([r["n_events"] for r in rows], type=pa.int64()),
+            "total_value": pa.array(
+                [r["value_c"] / 100.0 for r in rows], type=pa.float64()
+            ),
+        }
+    )
+
+
 # --------------------------------------------------------------- documents
 
 def dedup_exact(sf_dir: str):
@@ -1610,6 +1657,7 @@ QUERIES = {
     "user_session_stats": user_session_stats,
     "events_asof_orders": events_asof_orders,
     "events_hopping_windows": events_hopping_windows,
+    "events_value_bands": events_value_bands,
     "dedup_exact": dedup_exact,
     "token_counts": token_counts,
     "token_counts_bpe": token_counts_bpe,
@@ -1746,6 +1794,19 @@ ORACLE_SQL = {
         FROM w
         GROUP BY event_type, ws
     """,
+    "events_value_bands": """
+        SELECT b.band_id, b.lo, b.hi, count(*) AS n_events,
+               sum(CAST(round(e.value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+        FROM events e
+        JOIN (VALUES {bands}) AS b(band_id, lo, hi)
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band_id, b.lo, b.hi
+    """.format(
+        bands=", ".join(
+            f"(CAST({i} AS INTEGER), CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))"
+            for i, lo, hi in _VALUE_BANDS
+        )
+    ),
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id
         FROM documents

@@ -119,3 +119,97 @@ class MediaDecodeStage:
             "meta", pa.array(metas, type=MEDIA_SCHEMA.field("meta").type)
         )
         return out
+
+
+class RealResizer:
+    """Placeholder for a PIL-backed resizer — NOT available in this
+    container (same stub contract as RealDecoder)."""
+
+    def resize(self, payload: bytes, meta: dict, max_side: int) -> tuple[bytes, dict]:
+        raise NotImplementedError(
+            "image libs are not installed in this sandbox; "
+            "use DeterministicFakeResizer for tests"
+        )
+
+
+class DeterministicFakeResizer:
+    """Aspect-preserving metadata resize; payload re-keyed by the target
+    size so downstream dedup sees the variant as a distinct object."""
+
+    def resize(self, payload: bytes, meta: dict, max_side: int) -> tuple[bytes, dict]:
+        w, h = meta["width"], meta["height"]
+        scale = min(1.0, max_side / max(w, h, 1))
+        new = dict(meta, width=int(w * scale), height=int(h * scale))
+        out_payload = hashlib.md5(payload + str(max_side).encode()).hexdigest().encode()
+        return out_payload, new
+
+
+class MediaResizeStage:
+    """Actor-pool map_batches stage: bounded-resolution variant of every
+    image row (resizer built once per actor; pass-through for non-images).
+    Real deployments swap ``resizer_factory`` for a PIL/libvips resizer —
+    the Ray plumbing (schema in = schema out, small batches for wide binary
+    rows) is what's tested here."""
+
+    def __init__(self, max_side: int = 512, resizer_factory=DeterministicFakeResizer):
+        self.max_side = max_side
+        self.resizer = resizer_factory()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        metas = batch.column("meta").to_pylist()
+        out_p, out_m = [], []
+        for kind, payload, meta in zip(kinds, payloads, metas):
+            if kind == "image":
+                p, m = self.resizer.resize(payload, meta, self.max_side)
+            else:
+                p, m = payload, meta
+            out_p.append(p)
+            out_m.append(m)
+        out = batch.drop_columns(["payload", "meta"])
+        out = out.append_column("payload", pa.array(out_p, type=pa.binary()))
+        return out.append_column(
+            "meta", pa.array(out_m, type=MEDIA_SCHEMA.field("meta").type)
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool flat-map stage: video rows → one row per sampled frame
+    (uniform stride over n_frames, ≤ ``max_frames``); non-video rows pass
+    through untouched.  A real deployment decodes frames with ffmpeg in the
+    same slot; here frame payloads derive deterministically from
+    (payload, frame_idx)."""
+
+    def __init__(self, max_frames: int = 4):
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("doc_id", "media_ref", "kind", "payload", "meta")}
+        for row in batch.to_pylist():
+            if row["kind"] != "video":
+                for k in out:
+                    out[k].append(row[k])
+                continue
+            n = max(1, row["meta"]["n_frames"])
+            take = min(self.max_frames, n)
+            stride = n // take
+            for j in range(take):
+                fi = j * stride
+                frame_meta = dict(row["meta"], format="jpg", n_frames=1)
+                out["doc_id"].append(row["doc_id"])
+                out["media_ref"].append(f"{row['media_ref']}#frame{fi}")
+                out["kind"].append("image")
+                out["payload"].append(
+                    hashlib.md5(row["payload"] + str(fi).encode()).hexdigest().encode()
+                )
+                out["meta"].append(frame_meta)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                "media_ref": pa.array(out["media_ref"], type=pa.string()),
+                "kind": pa.array(out["kind"], type=pa.string()),
+                "payload": pa.array(out["payload"], type=pa.binary()),
+                "meta": pa.array(out["meta"], type=MEDIA_SCHEMA.field("meta").type),
+            }
+        )

@@ -497,3 +497,30 @@ def test_best_first_sharded_heap_equivalence(tmp_path, ray_session):
         for r in _docs_table(eng2).select(["url", "frontier_epoch"]).to_pylist()
     ]
     assert any("/p/1" in u for u, e in d2 if e <= 1)
+
+
+def test_crawl_with_politeness_budget_threaded_fetch(tmp_path, ray_session):
+    """Nonzero politeness budget: FetchStage takes the acquire-RPC grant
+    path and overlaps fetches with its thread pool (max_sessions>1).  The
+    crawled URL set must equal the zero-budget run, and per-host request
+    spacing must actually slow the wall clock."""
+    import time as _time
+
+    params = CorpusParams(n_hosts=2, pages_per_host=12, seed=4)
+    base = dict(max_depth=4, num_seen_shards=2, num_politeness_shards=1,
+                deterministic=True, fetch_batch_size=8)
+    eng_fast, s_fast = _run_engine(
+        tmp_path, params, CrawlConfig(**base), name="pol_fast"
+    )
+    t0 = _time.time()
+    eng_slow, s_slow = _run_engine(
+        tmp_path, params, CrawlConfig(**base, base_delay=(0.05, 0.05)),
+        name="pol_slow",
+    )
+    wall_slow = _time.time() - t0
+    fast_urls = sorted(r["url"] for r in _docs_table(eng_fast).select(["url"]).to_pylist())
+    slow_urls = sorted(r["url"] for r in _docs_table(eng_slow).select(["url"]).to_pylist())
+    assert fast_urls == slow_urls
+    assert s_fast["pages_crawled"] == s_slow["pages_crawled"] > 0
+    # ~12 pages/host at ≥50ms spacing ⇒ the politeness path demonstrably ran
+    assert wall_slow > 0.4

@@ -423,3 +423,49 @@ def test_cosine_cluster_stage(ray_session):
     ).take_all()
     assert {r["doc_id"] for r in out} == {1}  # doc 2's clusters under threshold
     assert all(r["content"] for r in out)
+
+
+# ------------------------------------------------------------- multimodal 2
+
+def test_media_resize_and_frame_sample_stages(ray_session):
+    """Resize: images capped aspect-preserving, audio/video pass through;
+    frame-sample: video rows explode into ≤ max_frames image rows with
+    derived refs, others untouched."""
+    import ray.data
+
+    from crawl4ai_ray.stages.multimodal import (
+        FrameSampleStage,
+        MediaDecodeStage,
+        MediaResizeStage,
+    )
+
+    rows = [
+        {"doc_id": "d1", "media_ref": "media://a/img0", "kind": "image",
+         "payload": b"", "meta": {"width": 0, "height": 0, "format": "", "n_frames": 0}},
+        {"doc_id": "d1", "media_ref": "media://a/v0", "kind": "video",
+         "payload": b"", "meta": {"width": 0, "height": 0, "format": "", "n_frames": 0}},
+        {"doc_id": "d2", "media_ref": "media://b/a0", "kind": "audio",
+         "payload": b"", "meta": {"width": 0, "height": 0, "format": "", "n_frames": 0}},
+    ]
+    ds = ray.data.from_items(rows).map_batches(
+        MediaDecodeStage, batch_format="pyarrow", concurrency=1, batch_size=8
+    )
+    resized = ds.map_batches(
+        MediaResizeStage, fn_constructor_kwargs=dict(max_side=100),
+        batch_format="pyarrow", concurrency=1, batch_size=8,
+    ).take_all()
+    by_kind = {r["kind"]: r for r in resized}
+    img = by_kind["image"]["meta"]
+    assert max(img["width"], img["height"]) <= 100
+    assert by_kind["video"]["meta"]["width"] > 100  # pass-through (decoder 64+hex)
+
+    frames = ds.map_batches(
+        FrameSampleStage, fn_constructor_kwargs=dict(max_frames=3),
+        batch_format="pyarrow", concurrency=1, batch_size=8,
+    ).take_all()
+    vids = [r for r in frames if r["media_ref"].startswith("media://a/v0#frame")]
+    assert 1 <= len(vids) <= 3
+    assert all(r["kind"] == "image" and r["meta"]["n_frames"] == 1 for r in vids)
+    # non-video rows unchanged
+    assert sum(1 for r in frames if r["media_ref"] == "media://a/img0") == 1
+    assert sum(1 for r in frames if r["media_ref"] == "media://b/a0") == 1
