@@ -25,6 +25,7 @@ import re
 from collections import Counter, defaultdict
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -276,3 +277,128 @@ class AdaptiveCrawler:
             "crawl_order": list(s.crawl_order),
             "state": s.to_jsonable(),
         }
+
+
+def default_query_variations(query: str, n: int = 10) -> list[str]:
+    """Deterministic stand-in for the reference's LLM query expansion
+    (adaptive_crawler.py::map_query_semantic_space — the LLM is absent in
+    this sandbox): token rotations and single-token dropouts around the
+    query.  A real deployment plugs an LLM-backed variations_fn in the
+    same slot."""
+    toks = query.split()
+    out = [query]
+    for i in range(1, n + 1):
+        if len(toks) > 1:
+            rot = toks[i % len(toks):] + toks[: i % len(toks)]
+            if i % 2 == 0 and len(rot) > 1:
+                rot = rot[:-1]
+            out.append(" ".join(rot))
+        else:
+            out.append(f"{query} aspect{i}")
+    return out
+
+
+class EmbeddingAdaptiveCrawler(AdaptiveCrawler):
+    """Embedding-based adaptive strategy — semantics of the reference's
+    EmbeddingStrategy (adaptive_crawler.py:587-990):
+
+      * the query becomes a point cloud (variations → embeddings);
+      * confidence = mean best cosine similarity of query points vs the
+        knowledge base (calculate_confidence, :967-990);
+      * coverage gaps = query points whose nearest KB doc is farther than
+        ``coverage_radius`` (find_coverage_gaps, :812-840);
+      * links score by how much they close gaps (improvement ×2 averaged
+        over gaps needing help), penalized for ≥``overlap_threshold``
+        similarity to existing KB docs (select_links_for_expansion,
+        :850-965); blended 0.8/0.2 with the contextual term score.
+
+    Embeddings/variations are pluggable callables (deterministic hashing
+    defaults — no model in this sandbox); link embeddings are cached per
+    (href, text) like the reference's _link_embedding_cache."""
+
+    def __init__(self, transport, query: str, config: AdaptiveConfig | None = None,
+                 robots_bodies: dict | None = None, embed_fn=None,
+                 variations_fn=None, n_variations: int = 8,
+                 coverage_radius: float = 0.2, overlap_threshold: float = 0.85):
+        super().__init__(transport, query, config, robots_bodies)
+        if embed_fn is None:
+            from ..functions.cosine_cluster import hashed_embedding
+
+            embed_fn = hashed_embedding
+        self.embed_fn = embed_fn
+        self.coverage_radius = coverage_radius
+        self.overlap_threshold = overlap_threshold
+        variations = (variations_fn or default_query_variations)(query, n_variations)
+        q = np.asarray(self.embed_fn(variations), dtype=np.float64)
+        self.query_embeddings = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-8)
+        self.kb_embeddings: np.ndarray | None = None
+        self._link_embedding_cache: dict[str, np.ndarray] = {}
+
+    # ---------------------------------------------------------- metrics
+    def confidence(self) -> float:
+        if self.kb_embeddings is None or len(self.kb_embeddings) == 0:
+            return 0.0
+        best = (self.query_embeddings @ self.kb_embeddings.T).max(axis=1)
+        self.state.metrics["coverage_score"] = float(best.mean())
+        self.state.metrics["median_best_similarity"] = float(np.median(best))
+        return float(best.mean())
+
+    def _gaps(self) -> list[tuple[np.ndarray, float]]:
+        if self.kb_embeddings is None or len(self.kb_embeddings) == 0:
+            return [(q, 1.0) for q in self.query_embeddings]
+        dist = 1.0 - self.query_embeddings @ self.kb_embeddings.T
+        min_d = dist.min(axis=1)
+        return [(q, float(d)) for q, d in zip(self.query_embeddings, min_d)]
+
+    # ------------------------------------------------------------ links
+    def _link_embedding(self, link: dict) -> np.ndarray | None:
+        text = " ".join(filter(None, [link.get("text"), link.get("title")]))
+        if not text.strip():
+            return None
+        key = f"{link['href']}:{text}"
+        if key not in self._link_embedding_cache:
+            v = np.asarray(self.embed_fn([text])[0], dtype=np.float64)
+            self._link_embedding_cache[key] = v / (np.linalg.norm(v) + 1e-8)
+        return self._link_embedding_cache[key]
+
+    def rank_links(self) -> list[tuple[dict, float]]:
+        gaps = self._gaps()
+        gaps_needing_help = [g for g in gaps if g[1] > self.coverage_radius]
+        scored = []
+        for link in self.state.pending_links:
+            if link["href"] in self.state.crawled_urls:
+                continue
+            emb = self._link_embedding(link)
+            if emb is None:
+                continue
+            if not gaps_needing_help:
+                score = 0.0
+            else:
+                total_improvement = 0.0
+                for gap_point, gap_distance in gaps_needing_help:
+                    new_distance = 1.0 - float(emb @ gap_point)
+                    if new_distance < gap_distance:
+                        total_improvement += (gap_distance - new_distance) * 2
+                score = total_improvement / len(gaps_needing_help)
+                if self.kb_embeddings is not None and len(self.kb_embeddings):
+                    max_sim = float((self.kb_embeddings @ emb).max())
+                    if max_sim > self.overlap_threshold:
+                        score *= 1 - (max_sim - self.overlap_threshold) * 2
+                # blend with the statistical contextual score (reference
+                # :960-961)
+                score = score * 0.8 + self._relevance(link) * 0.2
+            scored.append((link, score))
+        scored.sort(key=lambda x: -x[1])
+        return scored
+
+    # ------------------------------------------------------------ state
+    def _update_state(self, results: list[dict]) -> None:
+        super()._update_state(results)
+        texts = [(r.get("markdown") or "") for r in results]
+        if not texts:
+            return
+        m = np.asarray(self.embed_fn(texts), dtype=np.float64)
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-8)
+        self.kb_embeddings = (
+            m if self.kb_embeddings is None else np.vstack([self.kb_embeddings, m])
+        )

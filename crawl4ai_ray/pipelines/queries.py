@@ -1229,6 +1229,34 @@ def head_filter_crawl_demo(sf_dir: str):
         engine.shutdown()
 
 
+def adaptive_embedding_demo(sf_dir: str):
+    """Embedding-strategy adaptive crawl (reference EmbeddingStrategy,
+    adaptive_crawler.py:587-990): query point cloud → coverage-gap link
+    selection → mean-best-similarity confidence (rows-only; hashing
+    embedder stands in for the absent model)."""
+    from ..sources.corpus import CorpusParams, SyntheticTransport
+    from .adaptive import AdaptiveConfig, EmbeddingAdaptiveCrawler
+
+    params = CorpusParams(n_hosts=2, pages_per_host=50, seed=42)
+    crawler = EmbeddingAdaptiveCrawler(
+        SyntheticTransport(params),
+        query="crawl frontier data stream",
+        config=AdaptiveConfig(max_pages=12, top_k_links=3,
+                              confidence_threshold=0.95, min_gain_threshold=0.0),
+    )
+    out = crawler.digest("http://site0.test/")
+    return pa.table(
+        {
+            "rank": pa.array(range(len(out["crawl_order"])), type=pa.int32()),
+            "url": pa.array(out["crawl_order"], type=pa.string()),
+            "confidence": pa.array(
+                [round(out["confidence"], 4)] * len(out["crawl_order"]),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
 # -------------------------------------------------------------------- crawl
 
 def crawl_bfs_demo(sf_dir: str):
@@ -1691,6 +1719,7 @@ QUERIES = {
     "raw_markdown_demo": raw_markdown_demo,
     "cosine_cluster_demo": cosine_cluster_demo,
     "adaptive_digest_demo": adaptive_digest_demo,
+    "adaptive_embedding_demo": adaptive_embedding_demo,
     "crawl_bfs_demo": crawl_bfs_demo,
 }
 

@@ -469,3 +469,54 @@ def test_media_resize_and_frame_sample_stages(ray_session):
     # non-video rows unchanged
     assert sum(1 for r in frames if r["media_ref"] == "media://a/img0") == 1
     assert sum(1 for r in frames if r["media_ref"] == "media://b/a0") == 1
+
+
+# ------------------------------------------------- embedding adaptive crawl
+
+def test_embedding_adaptive_digest(ray_session):
+    """EmbeddingStrategy semantics: confidence = mean best query-point
+    similarity vs KB (grows as relevant pages land), gap-closing link
+    ranking, deterministic across runs."""
+    from crawl4ai_ray.pipelines.adaptive import (
+        AdaptiveConfig,
+        EmbeddingAdaptiveCrawler,
+    )
+    from crawl4ai_ray.sources.corpus import CorpusParams, SyntheticTransport
+
+    params = CorpusParams(n_hosts=2, pages_per_host=40, seed=42)
+    def run():
+        c = EmbeddingAdaptiveCrawler(
+            SyntheticTransport(params),
+            query="crawl frontier data stream",
+            config=AdaptiveConfig(max_pages=10, top_k_links=3,
+                                  confidence_threshold=0.95,
+                                  min_gain_threshold=0.0),
+        )
+        return c.digest("http://site0.test/")
+
+    out1, out2 = run(), run()
+    assert out1["crawl_order"] == out2["crawl_order"]  # deterministic
+    assert out1["pages_crawled"] >= 2
+    assert 0.0 < out1["confidence"] <= 1.0
+    assert "coverage_score" in out1["metrics"]
+
+
+def test_embedding_adaptive_gap_scoring():
+    """A link whose text matches an uncovered query point outranks an
+    off-topic link; near-duplicate-of-KB links get the overlap penalty."""
+    from crawl4ai_ray.pipelines.adaptive import AdaptiveConfig, EmbeddingAdaptiveCrawler
+
+    c = EmbeddingAdaptiveCrawler(
+        None, query="vector index probe scan", config=AdaptiveConfig()
+    )
+    # seed KB with off-topic docs → query points are all gaps
+    c._update_state([
+        {"url": "u1", "markdown": "totally unrelated cooking recipes and baking"},
+    ])
+    c.state.pending_links = [
+        {"href": "http://x/a", "text": "vector index probe scan details", "title": ""},
+        {"href": "http://x/b", "text": "cooking recipes and baking", "title": ""},
+    ]
+    ranked = c.rank_links()
+    assert ranked[0][0]["href"] == "http://x/a"
+    assert ranked[0][1] > ranked[1][1]
