@@ -152,13 +152,60 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     return timings
 
 
+def run_stage_stats(sf_dir: str, num_cpus: int) -> None:
+    """Wall-time attribution: run ONE epoch's fetch→extract→lineage chain
+    standalone and print ds.stats() — the per-stage evidence that wall time
+    is dominated by useful compute (fetch+extract), not shuffles/overhead."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import tempfile
+
+    from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+    from crawl4ai_ray.sources.corpus import CorpusParams, SyntheticTransport, robots_map
+
+    params = CorpusParams(
+        n_hosts=32, pages_per_host=1200, heavy_factor=4, branch=64,
+        extra_links=0, seed=42, private_every=23,
+        n_paras_min=50, n_paras_max=90, words_min=25, words_max=55,
+    )
+    cfg = CrawlConfig(
+        max_depth=1, num_seen_shards=4, num_politeness_shards=2,
+        deterministic=False, exact_seen=False,
+    )
+    engine = CrawlEngine(
+        SyntheticTransport(params), cfg, tempfile.mkdtemp(prefix="stats_"),
+        robots_bodies=robots_map(params),
+    )
+    seed_tbl = engine._seed_frontier(
+        [f"http://site{i}.test" for i in range(params.n_hosts)], 0
+    )
+    input_dir = engine._stage_frontier(seed_tbl, 0, group="frontier")
+    import ray.data as rd
+
+    ds = engine._transform_from_ds(rd.read_parquet(input_dir), 0)
+    ds = ds.materialize()
+    print(ds.stats())
+    engine.shutdown()
+    ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument(
+        "--stats", action="store_true",
+        help="print per-stage ds.stats() for one epoch of the flagship "
+             "pipeline (wall-time attribution audit)",
+    )
     args = ap.parse_args()
+
+    if args.stats:
+        run_stage_stats(args.sf_dir, args.num_cpus)
+        return
 
     sf = 0.1
     for tok in args.sf_dir.rstrip("/").split("/"):

@@ -732,6 +732,7 @@ def docs_interleaved(sf_dir: str):
     from ..schema import DOCS_SCHEMA, SPAN_STRUCT
 
     rows = docs.select_columns(["doc_id", "spans"]).take_all()
+    engine.shutdown()  # shard actors don't outlive the query
     # rebuild with the declared schema (dict round-trips reorder struct
     # fields alphabetically and widen offset to int64)
     return pa.table(
@@ -1257,6 +1258,68 @@ def adaptive_embedding_demo(sf_dir: str):
     )
 
 
+def link_preview_demo(sf_dir: str):
+    """LinkPreview operator (reference link_preview.py:71-360): per page
+    filter links → max_links cap → head peek → BM25 relevance vs query →
+    total score (rows-only; heads come from the synthetic transport)."""
+    from ..functions.head_filters import head_fetcher_from_transport
+    from ..stages.extract import extract_batch
+    from ..stages.linkjoin import LinkPreviewConfig, LinkPreviewStage
+    from ..sources.corpus import CorpusParams, page_url, synthesize_html
+
+    params = CorpusParams(n_hosts=2, pages_per_host=40, seed=42)
+    items = [
+        {"url": page_url(params, h, p), "html": synthesize_html(params, h, p),
+         "status_code": 200, "success": True}
+        for h in range(2)
+        for p in range(1, 20)
+    ]
+    from ..sources.corpus import SyntheticTransport
+
+    ds = ray.data.from_items(items)
+    return ds.map_batches(
+        extract_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        LinkPreviewStage,
+        fn_constructor_kwargs=dict(
+            head_fetcher=head_fetcher_from_transport(SyntheticTransport(params)),
+            config=LinkPreviewConfig(
+                include_internal=True, max_links=5,
+                query="synthetic crawl page", score_threshold=0.1,
+            ),
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+
+
+def media_catalog_crawl(sf_dir: str):
+    """Crawl-sourced multimodal pipeline: interleaved docs → media rows
+    (image/video/audio spans) → decode → resize → video frame sampling
+    (rows-only; the full media chain over real crawl output)."""
+    from ..stages.multimodal import (
+        FrameSampleStage,
+        MediaDecodeStage,
+        MediaResizeStage,
+        spans_to_media_rows,
+    )
+
+    docs = docs_interleaved(sf_dir)
+    ds = ray.data.from_arrow(docs)
+    return (
+        ds.map_batches(spans_to_media_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(MediaDecodeStage, batch_format="pyarrow", batch_size=64,
+                     concurrency=(1, 2), zero_copy_batch=True)
+        .map_batches(MediaResizeStage, fn_constructor_kwargs=dict(max_side=256),
+                     batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+                     zero_copy_batch=True)
+        .map_batches(FrameSampleStage, fn_constructor_kwargs=dict(max_frames=3),
+                     batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+                     zero_copy_batch=True)
+    )
+
+
 # -------------------------------------------------------------------- crawl
 
 def crawl_bfs_demo(sf_dir: str):
@@ -1295,9 +1358,11 @@ def crawl_bfs_demo(sf_dir: str):
             }
         )
 
-    return pa.Table.from_pylist(
+    out = pa.Table.from_pylist(
         docs.map_batches(_summary, batch_format="pyarrow", zero_copy_batch=True).take_all()
     )
+    engine.shutdown()  # shard actors don't outlive the query
+    return out
 
 
 # ===================================================== SQL oracle builders
@@ -1720,6 +1785,8 @@ QUERIES = {
     "cosine_cluster_demo": cosine_cluster_demo,
     "adaptive_digest_demo": adaptive_digest_demo,
     "adaptive_embedding_demo": adaptive_embedding_demo,
+    "link_preview_demo": link_preview_demo,
+    "media_catalog_crawl": media_catalog_crawl,
     "crawl_bfs_demo": crawl_bfs_demo,
 }
 

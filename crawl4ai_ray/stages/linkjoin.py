@@ -111,3 +111,128 @@ def join_head_data(links_ds, head_lookup: dict[str, dict]):
         )
 
     return links_ds.map_batches(_join, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class LinkPreviewConfig:
+    """Reference link_preview_config knobs (async_configs LinkPreviewConfig
+    as consumed by link_preview.py:118-162,190-215)."""
+
+    def __init__(self, include_internal: bool = True, include_external: bool = False,
+                 include_patterns: list[str] | None = None,
+                 exclude_patterns: list[str] | None = None,
+                 max_links: int = 10, query: str | None = None,
+                 score_threshold: float | None = None):
+        self.include_internal = include_internal
+        self.include_external = include_external
+        self.include_patterns = include_patterns
+        self.exclude_patterns = exclude_patterns
+        self.max_links = max_links
+        self.query = query
+        self.score_threshold = score_threshold
+
+
+class LinkPreviewStage:
+    """The composed LinkPreview operator (reference link_preview.py:71-360)
+    as an actor-pool map_batches stage over crawled docs:
+
+      per page: filter links (internal/external flags, include/exclude
+      fnmatch, max_links cap) → head fetch via the pluggable peeker →
+      BM25 relevance of head text vs the query (seeder normalization:
+      all-equal ⇒ 0.5) → score_threshold gate → total score =
+      0.7·intrinsic + 0.3·contextual·10.
+
+    Output: one row per previewed link (src_url, href, head_title,
+    head_description, intrinsic_score, relevance_score, total_score)."""
+
+    def __init__(self, head_fetcher, config: LinkPreviewConfig | None = None):
+        from ..functions.head_filters import extract_meta_tags, get_title
+
+        self.head_fetcher = head_fetcher
+        self.config = config or LinkPreviewConfig()
+        self._get_title = get_title
+        self._extract_meta = extract_meta_tags
+
+    def _filter(self, links: list[dict]) -> list[dict]:
+        import fnmatch
+
+        cfg = self.config
+        out = []
+        for link in links or []:
+            if link.get("internal", True):
+                if not cfg.include_internal:
+                    continue
+            elif not cfg.include_external:
+                continue
+            href = link.get("href")
+            if not href:
+                continue
+            if cfg.include_patterns and not any(
+                fnmatch.fnmatch(href, p) for p in cfg.include_patterns
+            ):
+                continue
+            if cfg.exclude_patterns and any(
+                fnmatch.fnmatch(href, p) for p in cfg.exclude_patterns
+            ):
+                continue
+            out.append(link)
+        if cfg.max_links > 0:
+            out = out[: cfg.max_links]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.bm25 import normalized_bm25
+
+        cfg = self.config
+        out = {k: [] for k in ("src_url", "href", "head_title",
+                               "head_description", "intrinsic_score",
+                               "relevance_score", "total_score")}
+        for src_url, links in zip(
+            batch.column("url").to_pylist(), batch.column("links").to_pylist()
+        ):
+            selected = self._filter(links)
+            if not selected:
+                continue
+            heads = []
+            for link in selected:
+                head = self.head_fetcher(link["href"]) or ""
+                title = self._get_title(head) or ""
+                meta = self._extract_meta(head)
+                heads.append((title, meta.get("description", "")))
+            scores = None
+            if cfg.query:
+                texts = [" ".join(filter(None, h)) for h in heads]
+                scores = normalized_bm25(cfg.query, texts)
+            for link, (title, desc), i in zip(selected, heads, range(len(selected))):
+                contextual = scores[i] if scores is not None else None
+                if (
+                    cfg.score_threshold is not None
+                    and contextual is not None
+                    and contextual < cfg.score_threshold
+                ):
+                    continue
+                intrinsic = link_intrinsic_score(
+                    link.get("text") or "", link["href"],
+                    title_attr=link.get("title") or "",
+                )
+                out["src_url"].append(src_url)
+                out["href"].append(link["href"])
+                out["head_title"].append(title)
+                out["head_description"].append(desc)
+                out["intrinsic_score"].append(round(intrinsic, 4))
+                out["relevance_score"].append(
+                    round(contextual, 4) if contextual is not None else None
+                )
+                out["total_score"].append(
+                    round(total_link_score(intrinsic, contextual or 0.0), 4)
+                )
+        return pa.table(
+            {
+                "src_url": pa.array(out["src_url"], type=pa.string()),
+                "href": pa.array(out["href"], type=pa.string()),
+                "head_title": pa.array(out["head_title"], type=pa.string()),
+                "head_description": pa.array(out["head_description"], type=pa.string()),
+                "intrinsic_score": pa.array(out["intrinsic_score"], type=pa.float64()),
+                "relevance_score": pa.array(out["relevance_score"], type=pa.float64()),
+                "total_score": pa.array(out["total_score"], type=pa.float64()),
+            }
+        )

@@ -520,3 +520,56 @@ def test_embedding_adaptive_gap_scoring():
     ranked = c.rank_links()
     assert ranked[0][0]["href"] == "http://x/a"
     assert ranked[0][1] > ranked[1][1]
+
+
+# ------------------------------------------------------------ link preview
+
+def test_link_preview_stage_filters_and_scores(ray_session):
+    """LinkPreview semantics (reference link_preview.py:118-162,190-215):
+    internal/external flags + include/exclude patterns + max_links cap,
+    head peek, BM25 relevance with score_threshold gate, total score."""
+    import ray.data
+
+    from crawl4ai_ray.stages.linkjoin import LinkPreviewConfig, LinkPreviewStage
+
+    heads = {
+        f"http://a.test/p/{i}": (
+            f"<head><title>stream batch page {i}</title>"
+            f'<meta name="description" content="stream batch merge doc {i}"></head>'
+        )
+        for i in range(6)
+    }
+    heads["http://a.test/offtopic"] = "<head><title>cooking</title></head>"
+
+    links = [
+        {"href": f"http://a.test/p/{i}", "text": f"p{i}", "title": "", "internal": True}
+        for i in range(6)
+    ] + [
+        {"href": "http://a.test/offtopic", "text": "x", "title": "", "internal": True},
+        {"href": "http://b.test/ext", "text": "e", "title": "", "internal": False},
+        {"href": "http://a.test/skip/9", "text": "s", "title": "", "internal": True},
+    ]
+    ds = ray.data.from_items([{"url": "http://a.test/", "links": links}])
+    out = ds.map_batches(
+        LinkPreviewStage,
+        fn_constructor_kwargs=dict(
+            head_fetcher=lambda u: heads.get(u),
+            config=LinkPreviewConfig(
+                include_internal=True, include_external=False,
+                exclude_patterns=["*/skip/*"], max_links=7,
+                query="stream batch merge",
+            ),
+        ),
+        batch_format="pyarrow",
+        concurrency=1,
+    ).take_all()
+    hrefs = [r["href"] for r in out]
+    assert "http://b.test/ext" not in hrefs  # external excluded
+    assert "http://a.test/skip/9" not in hrefs  # pattern excluded
+    assert len(out) == 7  # 6 pages + offtopic, all within max_links
+    by_href = {r["href"]: r for r in out}
+    # on-topic heads outrank the off-topic one (min-max normalized BM25)
+    assert by_href["http://a.test/offtopic"]["relevance_score"] == 0.0
+    assert max(r["relevance_score"] for r in out) == 1.0
+    assert all(r["head_title"] for r in out)
+    assert all(r["total_score"] >= 0 for r in out)
