@@ -402,3 +402,32 @@ class EmbeddingAdaptiveCrawler(AdaptiveCrawler):
         self.kb_embeddings = (
             m if self.kb_embeddings is None else np.vstack([self.kb_embeddings, m])
         )
+
+    # ------------------------------------------------------------ persist
+    def state_jsonable(self) -> dict:
+        """Reference CrawlState.save with the embedding extras
+        (adaptive_crawler.py:53-80: kb/query embeddings serialize as
+        nested lists)."""
+        d = self.state.to_jsonable()
+        d["kb_embeddings"] = (
+            self.kb_embeddings.tolist() if self.kb_embeddings is not None else None
+        )
+        d["query_embeddings"] = self.query_embeddings.tolist()
+        return d
+
+    def load_state(self, d: dict) -> None:
+        """Reference CrawlState.load (adaptive_crawler.py:82-108): restore
+        term stats + embedding matrices; crawl resumes mid-digest."""
+        s = self.state
+        s.term_frequencies = Counter(d.get("term_frequencies", {}))
+        s.document_frequencies = Counter(d.get("document_frequencies", {}))
+        s.new_terms_history = list(d.get("new_terms_history", []))
+        s.crawled_urls = set(d.get("crawled_urls", []))
+        s.pending_links = list(d.get("pending_links", []))
+        s.crawl_order = list(d.get("crawl_order", []))
+        s.total_documents = d.get("total_documents", 0)
+        s.metrics = dict(d.get("metrics", {}))
+        if d.get("kb_embeddings") is not None:
+            self.kb_embeddings = np.asarray(d["kb_embeddings"], dtype=np.float64)
+        if d.get("query_embeddings") is not None:
+            self.query_embeddings = np.asarray(d["query_embeddings"], dtype=np.float64)

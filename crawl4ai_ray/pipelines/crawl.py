@@ -456,32 +456,20 @@ class CrawlEngine:
         ).materialize()
         return ext, time.time() - t0
 
-    def _run_epoch_scale(self, input_dir: str, epoch: int):
-        """Scale path: ONE streaming execution per epoch, and the driver
-        never holds a row.  The chain is
+    def _epoch_candidate_ds(self, input_dir: str, epoch: int):
+        """One epoch's streaming chain up to the gated candidate keys
+        (shared by BFS-scale and Best-First-scale):
 
             read frontier parts → fetch → extract (→ enrich) → lineage
               → sink docs part + prune      (write docs, forward link keys)
               → flatten → canonicalize → filter/score → depth gate
-              → sharded check_and_add       (first caller wins)
-              → emit next-frontier part     (write parquet, forward count)
-
-        so all the driver collects is one count per batch plus the
-        politeness-shard counters (metrics).  The next epoch reads the
-        frontier parts this epoch wrote; those parts double as the seen-set
-        delta for resume (scale mode adds to seen exactly what enters the
-        frontier)."""
+              → intra-batch first-wins dedup
+        """
         import uuid
 
         cfg = self.config
-        t0 = time.time()
         ds = self._transform_from_ds(ray.data.read_parquet(input_dir), epoch)
         docs_dir = self.store.docs_epoch_dir(epoch)
-        next_dir = os.path.join(self.store.root, "frontier", f"epoch={epoch + 1}")
-        shutil.rmtree(next_dir, ignore_errors=True)
-        os.makedirs(next_dir, exist_ok=True)
-        next_epoch = epoch + 1
-        num_shards = cfg.num_seen_shards
 
         def _sink_and_prune(batch: pa.Table) -> pa.Table:
             import pyarrow.parquet as pq
@@ -521,8 +509,9 @@ class CrawlEngine:
         cand = cand.map_batches(
             _gate, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
-        # intra-batch first-wins dedup before the driver round: shrinks the
-        # collected key set (duplicate targets are common within an epoch)
+
+        # intra-batch first-wins dedup before any driver round: shrinks the
+        # key stream (duplicate targets are common within an epoch)
         def _local_dedup(batch: pa.Table) -> pa.Table:
             urls = batch.column("url").to_pylist()
             seen_local: set[str] = set()
@@ -534,9 +523,33 @@ class CrawlEngine:
                     seen_local.add(u)
             return batch.filter(pa.array(keep))
 
-        cand = cand.map_batches(
+        return cand.map_batches(
             _local_dedup, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
+
+    def _run_epoch_scale(self, input_dir: str, epoch: int):
+        """Scale path: ONE streaming execution per epoch, and the driver
+        never holds a row.  The chain is
+
+            read frontier parts → fetch → extract (→ enrich) → lineage
+              → sink docs part + prune      (write docs, forward link keys)
+              → flatten → canonicalize → filter/score → depth gate
+              → sharded check_and_add       (first caller wins)
+              → emit next-frontier part     (write parquet, forward count)
+
+        so all the driver collects is one count per batch plus the
+        politeness-shard counters (metrics).  The next epoch reads the
+        frontier parts this epoch wrote; those parts double as the seen-set
+        delta for resume (scale mode adds to seen exactly what enters the
+        frontier)."""
+        cfg = self.config
+        t0 = time.time()
+        next_dir = os.path.join(self.store.root, "frontier", f"epoch={epoch + 1}")
+        shutil.rmtree(next_dir, ignore_errors=True)
+        os.makedirs(next_dir, exist_ok=True)
+        next_epoch = epoch + 1
+        num_shards = cfg.num_seen_shards
+        cand = self._epoch_candidate_ds(input_dir, epoch)
         # Seen anti-join: CHUNKED scatter-gather rounds over candidate KEYS
         # only (url/hashes/host/depth/parent/score — never the documents).
         # ``iter_batches`` preserves pipeline block order, so the per-chunk
@@ -799,7 +812,9 @@ class CrawlEngine:
         if self.config.strategy == "bfs":
             return self._run_bfs(seeds, resume)
         if self.config.strategy == "best_first":
-            return self._run_best_first(seeds)
+            if self.config.deterministic:
+                return self._run_best_first(seeds)
+            return self._run_best_first_scale(seeds)
         if self.config.strategy == "dfs":
             return self._run_dfs(seeds)
         raise ValueError(f"unknown strategy {self.config.strategy}")
@@ -1084,6 +1099,105 @@ class CrawlEngine:
             "pages_crawled": self.pages_crawled,
             "fetched": total_fetched,
             "seen_size": len(visited),
+            "wall_s": wall_total,
+            "urls_per_s": total_fetched / wall_total if wall_total > 0 else 0.0,
+        }
+
+    def _run_best_first_scale(self, seeds: list[str]) -> dict:
+        """Scale-mode Best-First — the north-star shape at 10^10: a sharded
+        priority frontier (per-shard heap actors + driver k-way merge,
+        state/frontier_heap.py) feeding the SAME distributed discovery
+        chain as BFS-scale.  Per round:
+
+            pop global top-k (O(shards×k) driver rows)
+              → pop-time visited via the sharded seen filter (bloom at
+                scale — first-wins, reference bff:205-207 semantics)
+              → fetch→extract→sink docs→flatten→canonicalize→filter→gate
+              → candidate keys stream back in bounded chunks and PUSH into
+                the heap shards (urls queued at most once; re-pushes of
+                popped urls die at the next pop's seen check)
+
+        The driver never holds more than max(best_first_batch × shards,
+        seen_round_chunk) rows.  Ordering: (score desc, depth, url) — the
+        url tiebreak documented at _run_best_first applies here too."""
+        from ..state.frontier_heap import ShardedFrontierHeap
+
+        cfg = self.config
+        sheap = ShardedFrontierHeap(cfg.num_seen_shards)
+        seed_rows = []
+        for u in seeds:
+            canon = normalize_url_for_deep_crawl(u, u)
+            if canon and is_valid_frontier_url(canon):
+                score = self.scorer.score(canon) if self.scorer else 0.0
+                seed_rows.append(
+                    {"url": canon, "host": host_of(canon), "score": score,
+                     "depth": 0, "parent_url": None}
+                )
+        if seed_rows:
+            sheap.push_batch(seed_rows)
+        batch_idx = 0
+        total_fetched = 0
+        t_start = time.time()
+        while self.pages_crawled < cfg.max_pages:
+            if cfg.max_epochs is not None and batch_idx >= cfg.max_epochs:
+                break
+            popped = sheap.pop_global_batch(cfg.best_first_batch)
+            if not popped:
+                break
+            fresh = self.seen.check_and_add(
+                [r["url"] for r in popped], [host_of(r["url"]) for r in popped]
+            )
+            rows = [r for r, f in zip(popped, fresh) if f]
+            if not rows:
+                continue
+            frontier = _frontier_table(rows, batch_idx, cfg.num_seen_shards)
+            input_dir = self._stage_frontier(frontier, batch_idx, group="frontier")
+            t0 = time.time()
+            cand = self._epoch_candidate_ds(input_dir, batch_idx)
+            keys = cand.select_columns(["url", "host", "src_depth", "src_url", "score"])
+            for b in keys.iter_batches(
+                batch_size=cfg.seen_round_chunk, batch_format="pyarrow"
+            ):
+                if b.num_rows == 0:
+                    continue
+                sheap.push_batch(
+                    [
+                        {"url": u, "host": h, "score": float(sc),
+                         "depth": int(d) + 1, "parent_url": p}
+                        for u, h, sc, d, p in zip(
+                            b.column("url").to_pylist(),
+                            b.column("host").to_pylist(),
+                            b.column("score").to_pylist(),
+                            b.column("src_depth").to_pylist(),
+                            b.column("src_url").to_pylist(),
+                        )
+                    ]
+                )
+            counters = ray.get(
+                [sh.drain_counters.remote() for sh in self.politeness.shards]
+            )
+            fetched = sum(c["fetched"] for c in counters)
+            self.pages_crawled += fetched
+            total_fetched += fetched
+            m = self._write_metrics_from_counters(counters, batch_idx, time.time() - t0)
+            self.store.write_manifest(
+                {
+                    "strategy": "best_first",
+                    "epoch": batch_idx,
+                    "pages_crawled": self.pages_crawled,
+                    "num_seen_shards": cfg.num_seen_shards,
+                    "bloom_generations": self.seen.generations(),
+                    "deterministic": False,
+                }
+            )
+            batch_idx += 1
+        wall_total = time.time() - t_start
+        sheap.shutdown()
+        return {
+            "epochs": batch_idx,
+            "pages_crawled": self.pages_crawled,
+            "fetched": total_fetched,
+            "seen_size": self.seen.total_size(),
             "wall_s": wall_total,
             "urls_per_s": total_fetched / wall_total if wall_total > 0 else 0.0,
         }

@@ -38,12 +38,19 @@ class FrontierHeapShard:
     def __init__(self):
         self.heap: list[tuple[float, int, str, str | None]] = []
         self.dead: set[str] = set()
+        # EVER-queued membership — never removed: a popped URL re-entering
+        # would always die at the pop-time visited check, and allowing
+        # re-pushes corrupts the lazy-deletion bookkeeping (a fresh heap
+        # entry for a discarded url would read as dead → zombie).  Each URL
+        # therefore holds exactly ONE heap entry over its lifetime.  At
+        # 10^10 scale swap this exact set for a bloom (it's an optimization
+        # only — the sharded seen filter is the correctness gate).
         self.queued: set[str] = set()
         self.age_bonus = 0.0  # accumulated promotion (score offset)
 
     def push(self, rows: list[tuple[float, int, str, str | None]]) -> int:
-        """rows: (score, depth, url, parent); refreshed entries win by
-        better priority (duplicates resolved lazily at pop)."""
+        """rows: (score, depth, url, parent); a url enqueues at most once
+        (first push wins — reference first-wins discovery semantics)."""
         n = 0
         for score, depth, url, parent in rows:
             if url in self.queued:
@@ -74,8 +81,7 @@ class FrontierHeapShard:
     def discard(self, urls: list[str]) -> None:
         for u in urls:
             if u in self.queued:
-                self.dead.add(u)
-                self.queued.discard(u)
+                self.dead.add(u)  # queued membership is permanent (see init)
 
     def _compact(self) -> None:
         if len(self.dead) > 64 and len(self.dead) * 2 > len(self.heap):

@@ -524,3 +524,35 @@ def test_crawl_with_politeness_budget_threaded_fetch(tmp_path, ray_session):
     assert s_fast["pages_crawled"] == s_slow["pages_crawled"] > 0
     # ~12 pages/host at ≥50ms spacing ⇒ the politeness path demonstrably ran
     assert wall_slow > 0.4
+
+
+def test_best_first_scale_mode(tmp_path, ray_session):
+    """Scale-mode Best-First (sharded heap + distributed discovery, no
+    driver link fold): uncapped it crawls the same URL SET as scale BFS;
+    capped, the scorer steers early batches toward matching pages."""
+    params = CorpusParams(n_hosts=2, pages_per_host=25, seed=9)
+
+    def scorer_factory():
+        return KeywordRelevanceScorer(["p/1"])
+
+    # max_depth must not bind: best-first pop order can first-queue a page
+    # via a LONGER path than BFS level order, so a tight depth cap would
+    # legitimately shrink the set (the gate keys on first-queued depth)
+    bfs_cfg = CrawlConfig(
+        max_depth=30, num_seen_shards=2, fetch_batch_size=8, deterministic=False
+    )
+    eng_bfs, _ = _run_engine(tmp_path, params, bfs_cfg, name="bfs_scale_ref")
+    bf_cfg = CrawlConfig(
+        strategy="best_first", max_depth=30, num_seen_shards=2,
+        fetch_batch_size=8, deterministic=False, best_first_batch=12,
+        scorer_factory=scorer_factory,
+    )
+    eng_bf, s_bf = _run_engine(tmp_path, params, bf_cfg, name="bf_scale")
+    bfs_urls = set(_docs_table(eng_bfs).column("url").to_pylist())
+    bf_urls = set(_docs_table(eng_bf).column("url").to_pylist())
+    assert bf_urls == bfs_urls
+    assert s_bf["pages_crawled"] == len(bf_urls)
+    # priority property: the scored page appears in an early batch
+    docs = _docs_table(eng_bf).select(["url", "frontier_epoch"]).to_pylist()
+    scored_epochs = [r["frontier_epoch"] for r in docs if "/p/1" in r["url"]]
+    assert scored_epochs and min(scored_epochs) <= 2

@@ -573,3 +573,25 @@ def test_link_preview_stage_filters_and_scores(ray_session):
     assert max(r["relevance_score"] for r in out) == 1.0
     assert all(r["head_title"] for r in out)
     assert all(r["total_score"] >= 0 for r in out)
+
+
+def test_embedding_adaptive_state_roundtrip():
+    """kb/query embeddings survive the JSON checkpoint round-trip with the
+    same confidence (reference CrawlState save/load incl. embeddings)."""
+    import json
+
+    from crawl4ai_ray.pipelines.adaptive import AdaptiveConfig, EmbeddingAdaptiveCrawler
+
+    a = EmbeddingAdaptiveCrawler(None, query="vector probe scan", config=AdaptiveConfig())
+    a._update_state([
+        {"url": "u1", "markdown": "vector probe scan details and more words"},
+        {"url": "u2", "markdown": "unrelated cooking content entirely"},
+    ])
+    conf = a.confidence()
+    blob = json.dumps(a.state_jsonable())
+
+    b = EmbeddingAdaptiveCrawler(None, query="vector probe scan", config=AdaptiveConfig())
+    b.load_state(json.loads(blob))
+    assert b.confidence() == conf
+    assert b.state.crawl_order == ["u1", "u2"]
+    assert b.kb_embeddings.shape == a.kb_embeddings.shape
