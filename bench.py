@@ -57,12 +57,15 @@ def crawl_headline(num_cpus: int, scale: float) -> dict:
         words_min=25,
         words_max=55,
     )
+    strategy = os.environ.get("GRAFT_STRATEGY", "bfs")  # bfs | best_first
     cfg = CrawlConfig(
+        strategy=strategy,
         max_depth=12,
         num_seen_shards=max(8, num_cpus // 2),
         num_politeness_shards=max(4, num_cpus // 4),
         fetch_batch_size=128,
         extract_batch_size=128,
+        best_first_batch=2048,  # scale best-first: pop-round granularity
         deterministic=False,   # scale path: distributed discovery
         exact_seen=False,      # bloom-only (FP budget p=0.01)
         seen_capacity_per_shard=2_000_000,
