@@ -882,6 +882,43 @@ def chunks_sliding(sf_dir: str, window: int = 40, step: int = 20):
     )
 
 
+def chunks_merged(sf_dir: str, bucket_size: int = 50, target: int = 200):
+    """Corpus-level merge_chunks (reference utils.py:162-224, exec-parity
+    tested): docs grouped into doc_id buckets, each bucket's texts merged in
+    doc_id order into ~``target``-token chunks — the distributed form of
+    cross-document chunk packing (one groupby; chunking local per bucket).
+    SQL-oracled (overlap=0 distribution = capped integer division over the
+    bucket's global token index)."""
+    from ..functions.chunking import merge_chunks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        ids = _np(b, "doc_id")
+        return b.append_column(
+            "bucket", pa.array((ids // bucket_size).astype(np.int64), type=pa.int64())
+        )
+
+    def _merge(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        texts = group.column("text").take(order).to_pylist()
+        bucket = group.column("bucket")[0].as_py()
+        chunks = merge_chunks([t or "" for t in texts], target, overlap=0)
+        return pa.table(
+            {
+                "bucket": pa.array([bucket] * len(chunks), type=pa.int64()),
+                "chunk_idx": pa.array(range(len(chunks)), type=pa.int32()),
+                "chunk": pa.array(chunks, type=pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(_merge, batch_format="pyarrow")
+    )
+
+
 def regex_numbers_events(sf_dir: str):
     """RegexExtractionStrategy 'number' catalog over events.props
     (extraction_strategy.py:1945-2114)."""
@@ -1772,6 +1809,7 @@ QUERIES = {
     "media_catalog": media_catalog,
     "chunks_fixed": chunks_fixed,
     "chunks_sliding": chunks_sliding,
+    "chunks_merged": chunks_merged,
     "regex_numbers_events": regex_numbers_events,
     "structured_roundtrip": structured_roundtrip,
     "structured_xpath_roundtrip": structured_xpath_roundtrip,
@@ -1986,6 +2024,33 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(last_step + 1 AS INTEGER) AS chunk_idx,
                array_to_string(words[n - 39 : n], ' ') AS chunk
         FROM big WHERE last_step * 20 + 40 < n
+    """,
+    # merge_chunks distribution at overlap=0: chunk sizes are exactly
+    # `target` except the final chunk, which absorbs the remainder — i.e.
+    # chunk_idx = min(global_token_idx // target, num_chunks - 1)
+    "chunks_merged": r"""
+        WITH tok AS (
+            SELECT doc_id, doc_id // 50 AS bucket,
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+            FROM documents
+            WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) > 0
+        ),
+        flat AS (
+            SELECT bucket, doc_id, CAST(u.i AS BIGINT) AS pos,
+                   toks[CAST(u.i AS INTEGER) + 1] AS tok
+            FROM tok, UNNEST(range(len(toks))) AS u(i)
+        ),
+        idx AS (
+            SELECT bucket, tok,
+                   row_number() OVER (PARTITION BY bucket ORDER BY doc_id, pos) - 1 AS gidx,
+                   count(*) OVER (PARTITION BY bucket) AS total
+            FROM flat
+        )
+        SELECT bucket,
+               CAST(least(gidx // 200, (total + 199) // 200 - 1) AS INTEGER) AS chunk_idx,
+               string_agg(tok, ' ' ORDER BY gidx) AS chunk
+        FROM idx
+        GROUP BY bucket, least(gidx // 200, (total + 199) // 200 - 1)
     """,
     "regex_numbers_events": r"""
         SELECT event_id,

@@ -403,3 +403,50 @@ def test_asof_join_edges(ray_session):
         ).take_all()
     }
     assert out == {1: 14, 2: None, 3: 13, 4: None}
+
+
+def test_chunk_documents_and_merge_chunks_parity():
+    """Exec the reference utils.py slice for chunk_documents/merge_chunks
+    (pure functions; utils itself is lxml-bound so only the slice execs)
+    and compare outputs exactly over a parameter grid incl. the fractional
+    word_token_rate, overlap push-back, oversized-single-token and
+    sub-1-token-doc edge cases."""
+    import re as _re
+
+    src = open("/root/reference/crawl4ai/utils.py").read()
+    start = src.index("def chunk_documents(")
+    end = src.index("class VersionManager")
+    ns: dict = {}
+    exec(
+        compile(
+            "from collections import deque\nfrom itertools import chain\n"
+            "from array import array\nfrom typing import Callable, Generator, "
+            "Iterable, List, Optional, Sequence\n" + src[start:end],
+            "ref_utils_slice", "exec",
+        ),
+        ns,
+    )
+
+    from crawl4ai_ray.functions.chunking import chunk_documents, merge_chunks
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    doc_sets = [
+        [],
+        [""],
+        ["one"],
+        [" ".join(words[:7]), " ".join(words[7:12]), " ".join(words[12:])],
+        [" ".join(words * 4)],
+        ["single"] * 9,
+        ["supercalifragilistic"],  # single token vs tiny threshold
+    ]
+    for docs in doc_sets:
+        for thr, ov, rate in [(10, 0, 0.75), (10, 3, 0.75), (5, 2, 1.0),
+                              (1, 0, 0.75), (8, 7, 0.5)]:
+            want = list(ns["chunk_documents"](docs, thr, ov, rate))
+            got = list(chunk_documents(docs, thr, ov, rate))
+            assert got == want, ("chunk_documents", docs[:1], thr, ov, rate)
+        for tgt, ov, ratio in [(10, 0, 1.0), (10, 3, 1.0), (6, 2, 0.75), (1, 0, 0.5)]:
+            want = ns["merge_chunks"](docs, tgt, ov, ratio)
+            got = merge_chunks(docs, tgt, ov, ratio)
+            assert got == want, ("merge_chunks", docs[:1], tgt, ov, ratio)
