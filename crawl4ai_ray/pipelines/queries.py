@@ -597,6 +597,16 @@ def simhash_docs(sf_dir: str):
     return simhash_signatures(ds)
 
 
+def jaccard_neardup_exact_pairs(sf_dir: str):
+    """Exact all-pairs n-gram jaccard (brute-force baseline for the
+    minhash-LSH scale path, like embedding_neardup is for the LSH embedding
+    path); SQL-oracled."""
+    from ..stages.dedup import jaccard_neardup_exact
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_neardup_exact(ds, threshold=0.5)
+
+
 def simhash_neardup_pairs(sf_dir: str):
     """SimHash near-dup pairs: 16-bit-band candidate groupby → in-group
     hamming ≤ 3 verify (signatures ride the shuffle; recall 1 at radius 3 by
@@ -1485,19 +1495,11 @@ WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
 """
 
 
-def _sql_minhash_pairs(threshold: float = 0.5, num_perm: int = 64,
-                       band_rows: int = 8, seed: int = 1) -> str:
-    """Full SQL reimplementation of the minhash+LSH+jaccard-verify pipeline
-    (stages/dedup.py) — same md5 shingle hashes, same multiply-shift perms
-    from RandomState(seed), same '-'-joined decimal band keys."""
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, 2**30, size=num_perm).astype(np.uint64) * 2 + 1
-    b = rng.randint(0, 2**31, size=num_perm).astype(np.uint64)
-    perm_rows = ", ".join(
-        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
-    )
-    return f"""
-WITH tok AS (
+def _sql_shingle_ctes() -> str:
+    """CTE chain ending in sh(doc_id, shs) — each document's distinct
+    md5-hashed 3-token shingles as a HUGEINT list (matches
+    textstats.shingle_hashes)."""
+    return f"""tok AS (
     SELECT doc_id, {_SQL_TOKS_LOWER} AS toks FROM documents
 ),
 shing AS (
@@ -1512,7 +1514,40 @@ shing AS (
 sh AS (
     SELECT doc_id, list_distinct(list_transform(sh_strs, s -> {_sql_hex64('s')})) AS shs
     FROM shing
-),
+)"""
+
+
+def _sql_jaccard_exact(threshold: float = 0.5) -> str:
+    """Exact all-pairs jaccard over distinct shingle-hash sets (the SQL
+    twin of stages/dedup.py::jaccard_neardup_exact)."""
+    return f"""
+WITH {_sql_shingle_ctes()},
+p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.shs, b.shs)) AS n_i,
+           len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS n_u
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(CASE WHEN n_u = 0 THEN 1.0 ELSE n_i * 1.0 / n_u END, 4) AS jaccard
+FROM p
+WHERE (CASE WHEN n_u = 0 THEN 1.0 ELSE n_i * 1.0 / n_u END) >= {threshold}
+"""
+
+
+def _sql_minhash_pairs(threshold: float = 0.5, num_perm: int = 64,
+                       band_rows: int = 8, seed: int = 1) -> str:
+    """Full SQL reimplementation of the minhash+LSH+jaccard-verify pipeline
+    (stages/dedup.py) — same md5 shingle hashes, same multiply-shift perms
+    from RandomState(seed), same '-'-joined decimal band keys."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 2**30, size=num_perm).astype(np.uint64) * 2 + 1
+    b = rng.randint(0, 2**31, size=num_perm).astype(np.uint64)
+    perm_rows = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
+    )
+    return f"""
+WITH {_sql_shingle_ctes()},
 mins AS (
     SELECT s.doc_id, p.pid,
            CASE WHEN len(s.shs) = 0 THEN CAST('18446744073709551615' AS HUGEINT)
@@ -1799,6 +1834,7 @@ QUERIES = {
     "simhash_docs": simhash_docs,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "minhash_neardup_pairs": minhash_neardup_pairs,
+    "jaccard_neardup_exact": jaccard_neardup_exact_pairs,
     "knn_cosine_top10": knn_cosine_top10,
     "knn_cosine_lsh": knn_cosine_lsh,
     "knn_cosine_ivf": knn_cosine_ivf,
@@ -2071,6 +2107,7 @@ ORACLE_SQL = {
     "knn_cosine_lsh": _sql_knn_lsh(),
     "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
     "minhash_neardup_pairs": _sql_minhash_pairs(),
+    "jaccard_neardup_exact": _sql_jaccard_exact(),
     "simhash_docs": _sql_simhash(),
     "simhash_neardup_pairs": _sql_simhash_pairs(),
     "doc_fingerprint_rolling": _sql_rolling_fingerprint(),

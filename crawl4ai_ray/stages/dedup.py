@@ -309,6 +309,72 @@ def minhash_dedup_pairs(
     return joined.map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def jaccard_neardup_exact(ds, threshold: float = 0.5, shingle_k: int = 3):
+    """EXACT all-pairs n-gram jaccard ≥ threshold — the brute-force baseline
+    the LSH pipeline (minhash_dedup_pairs) approximates, mirroring
+    cosine_neardup_pairs' role for embeddings: the packed shingle table
+    broadcasts once (ray.put — O(corpus·8B/shingle), fine at benchmark
+    scale, NOT the 100-TB path) and each batch compares its docs against
+    every later doc.  SQL-oracled; duck_round(4) on the emitted jaccard."""
+    import ray
+
+    from ..functions.numeric import duck_round
+
+    sh_rows = (
+        ds.map_batches(
+            ShingleHashStage,
+            fn_constructor_kwargs=dict(shingle_k=shingle_k),
+            batch_format="pyarrow",
+            concurrency=(1, 16),
+            zero_copy_batch=True,
+        ).take_all()
+    )
+    all_ids = np.asarray([r["doc_id"] for r in sh_rows], dtype=np.int64)
+    all_sets = [np.frombuffer(r["sh"], dtype=np.uint64) for r in sh_rows]
+    order = np.argsort(all_ids)
+    all_ids = all_ids[order]
+    all_sets = [all_sets[i] for i in order]
+    ref = ray.put((all_ids, all_sets))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        ids_all, sets_all = ray.get(ref)
+        pos = {int(i): p for p, i in enumerate(ids_all)}
+        a_out, b_out, j_out = [], [], []
+        for did, sh in zip(
+            batch.column("doc_id").to_pylist(), batch.column("sh").to_pylist()
+        ):
+            ha = np.frombuffer(sh, dtype=np.uint64)
+            p = pos[did]
+            for q in range(p + 1, len(ids_all)):
+                hb = sets_all[q]
+                if len(ha) == 0 and len(hb) == 0:
+                    jac = 1.0
+                else:
+                    inter = len(np.intersect1d(ha, hb, assume_unique=True))
+                    union = len(ha) + len(hb) - inter
+                    jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    a_out.append(did)
+                    b_out.append(int(ids_all[q]))
+                    j_out.append(float(duck_round(jac, 4)))
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, type=pa.int64()),
+                "id_b": pa.array(b_out, type=pa.int64()),
+                "jaccard": pa.array(j_out, type=pa.float64()),
+            }
+        )
+
+    sh_ds = ds.map_batches(
+        ShingleHashStage,
+        fn_constructor_kwargs=dict(shingle_k=shingle_k),
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+        zero_copy_batch=True,
+    )
+    return sh_ds.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ----------------------------------------------------------------- simhash
 class SimHashBandStage:
     """Stateful map_batches stage: text → one row per 16-bit simhash band

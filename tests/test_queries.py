@@ -225,3 +225,20 @@ def test_ivf_knn_recall_vs_brute(ray_session):
     approx = _to_table(knn_cosine_ivf(SF)).column("vec_id").to_pylist()
     assert approx[0] == exact[0] == 0  # the query vector itself
     assert len(set(approx) & set(exact)) >= 5
+
+
+def test_minhash_recall_vs_exact_jaccard(ray_session):
+    """LSH-verified pairs ⊆ exact all-pairs jaccard (verify kills bucket
+    false positives), with high recall at this banding (64 perms / 8 rows
+    → ~0.97 recall at j=0.5)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in _to_table(Q.QUERIES["jaccard_neardup_exact"](SF)).to_pylist()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in _to_table(Q.QUERIES["minhash_neardup_pairs"](SF)).to_pylist()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.8
