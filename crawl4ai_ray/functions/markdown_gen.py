@@ -9,13 +9,18 @@ Covered (golden-tested char-for-char vs the exec'd reference converter in
 tests/test_markdown_golden.py): headings, paragraphs/divs, inline spans,
 links (+titles, automatic ``<url>`` links), images, bold/italic with
 html2text's stressed-whitespace rules, inline code, ``[code]`` blocks from
-<pre>, flat and nested ul/ol, blockquotes, br, hr, entity unescaping, and
-the single-line-break block layout (lists trailed by a blank pair).
+<pre>, flat and nested ul/ol, blockquotes (incl. nested — the reference's
+``"> " * depth`` opening-chain vs ``">"*depth + " "`` continuation quirk),
+tables (non-padded pipe rows + ``---|---`` separator after the first row,
+every table line br-suffixed, caption text flowing into the first row),
+definition lists (``\\n\\n``-led dt, 4-space-indented dd, dt→dd stressed
+carry), br, hr, entity unescaping, and the single-line-break block layout
+(lists trailed by a blank pair).
 
-Out of slice (documented, not silently wrong): tables, definition lists,
-nested blockquotes, emphasis nested inside emphasis.  The structure here is
-a DOM walk over stages/extract.py's tree — not a port of the reference's
-streaming parser.
+Out of slice (documented, not silently wrong): emphasis nested inside
+emphasis, tables inside list items, pre/list tails inside blockquotes mid-
+document.  The structure here is a DOM walk over stages/extract.py's tree —
+not a port of the reference's streaming parser.
 """
 
 from __future__ import annotations

@@ -1480,6 +1480,63 @@ LIMIT 10
 """
 
 
+def _sql_knn_ivf(n_centroids: int = 8, nprobe: int = 5, seed: int = 11,
+                 sample_size: int = 2048) -> str | None:
+    """SQL twin of queries.knn_cosine_ivf: retrains the (deterministic,
+    seeded) spherical-k-means centroids with the SAME numpy core the Ray
+    path uses (stages/similarity.py::spherical_kmeans) over the same
+    id-sorted bounded sample, inlines them as DOUBLE[] literals — exactly
+    the plane-literal pattern of _sql_embedding_neardup_lsh — and redoes
+    assign → probe → exact re-rank in SQL.  The training sample is read
+    from the driver's oracle scale factor (sf0.01 unless
+    GRAFT_ORACLE_SF_DIR overrides), the one data-dependence a static
+    oracle string can't avoid; returns None when that table is absent."""
+    import os
+
+    sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import _normalize, spherical_kmeans
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"]).slice(0, sample_size)
+    t = t.sort_by("vec_id")
+    m = _normalize(np.asarray(t.column("embedding").to_pylist(), dtype=np.float64))
+    cents = spherical_kmeans(m, n_centroids, seed=seed)
+    rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(float(x)) for x in cents[i]))
+        for i in range(len(cents))
+    )
+    return f"""
+WITH cent(pid, cvec) AS (VALUES {rows}),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+    SELECT pid FROM cent, q
+    ORDER BY list_dot_product(cvec, qv) DESC, pid
+    LIMIT {nprobe}
+),
+assign AS (
+    SELECT e.vec_id, c.pid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.pid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+),
+probed AS (
+    SELECT vec_id FROM assign
+    WHERE rn = 1 AND pid IN (SELECT pid FROM probe)
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)), 4) AS cos
+FROM embeddings e JOIN probed p USING (vec_id)
+ORDER BY cos DESC, e.vec_id
+LIMIT 10
+"""
+
+
 def _sql_embedding_neardup_lsh(threshold: float = 0.3) -> str:
     return f"""
 WITH {_sql_buckets_cte(6, 7)}
@@ -2120,3 +2177,10 @@ ORACLE_SQL = {
     # engine over synthetic sites (inputs aren't the parquet tables), and
     # embedding_neardup's LSH sibling covers the SQL-checkable math.
 }
+
+# knn_cosine_ivf retrains the centroid literals from the oracle-scale
+# embeddings table at import time; skip the entry (rows-only check) when
+# that table isn't present on this machine.
+_ivf_oracle = _sql_knn_ivf()
+if _ivf_oracle:
+    ORACLE_SQL["knn_cosine_ivf"] = _ivf_oracle

@@ -111,21 +111,34 @@ class ShingleHashStage:
         )
 
 
-def minhash_candidate_pairs(ds, num_perm=64, band_rows=8, shingle_k=3, seed=1):
-    """documents(text, doc_id) → candidate near-dup pairs (id_a < id_b) via
-    LSH banding.  groupby((band_idx, band_key)) is the one shuffle; bucket
-    sizes are tiny unless the corpus is pathological."""
+_PAIR_IDS_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
-        a_col, b_col = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_col.append(ids[i])
-                b_col.append(ids[j])
-        return pa.table(
-            {"id_a": pa.array(a_col, type=pa.int64()), "id_b": pa.array(b_col, type=pa.int64())}
-        )
+
+def _ids_verify(g: pa.Table, iu: np.ndarray, ju: np.ndarray) -> pa.Table:
+    """Projection-only verify for candidate generators: emit (id_a, id_b)
+    for the given index pairs (g is sorted ascending by doc id)."""
+    ids = np.asarray(g.column(g.schema.names[0]).to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            "id_a": pa.array(ids[iu], type=pa.int64()),
+            "id_b": pa.array(ids[ju], type=pa.int64()),
+        }
+    )
+
+
+def minhash_candidate_pairs(
+    ds, num_perm=64, band_rows=8, shingle_k=3, seed=1,
+    max_bucket: int | None = None,
+):
+    """documents(text, doc_id) → candidate near-dup pairs (id_a < id_b) via
+    LSH banding.  groupby((band_idx, band_key)) is the one big shuffle.
+
+    Skewed band keys (boilerplate-heavy corpora put thousands of
+    near-identical docs in one bucket) are handled by
+    stages/bucketcap.py::capped_group_pairs: buckets over ``max_bucket``
+    rows are EXACTLY decomposed into bounded chunk-pair tasks, so the pair
+    set is unchanged but no single group task is quadratic in the bucket."""
+    from .bucketcap import DEFAULT_MAX_BUCKET, capped_group_pairs
 
     sigs = ds.map_batches(
         MinHashSignatureStage,
@@ -136,10 +149,15 @@ def minhash_candidate_pairs(ds, num_perm=64, band_rows=8, shingle_k=3, seed=1):
         concurrency=(1, 16),
         zero_copy_batch=True,
     )
-    pairs = sigs.groupby(["band_idx", "band_key"]).map_groups(
-        _pairs, batch_format="pyarrow"
+    return capped_group_pairs(
+        sigs,
+        group_cols=["band_idx", "band_key"],
+        id_col="doc_id",
+        payload_cols=[],
+        verify_fn=_ids_verify,
+        pair_schema=_PAIR_IDS_SCHEMA,
+        max_bucket=max_bucket or DEFAULT_MAX_BUCKET,
     )
-    return pairs
 
 
 def minhash_dedup_pairs(
@@ -151,6 +169,7 @@ def minhash_dedup_pairs(
     seed: int = 1,
     num_partitions: int | None = None,
     broadcast_pairs_threshold: int = 200_000,
+    max_bucket: int | None = None,
 ):
     """Candidate pairs verified by exact n-gram jaccard ≥ threshold — the
     100-TB shape: NO broadcast, NO driver materialization.
@@ -197,7 +216,9 @@ def minhash_dedup_pairs(
         num_partitions = max(2, min(cpus // 2, 64))
     agg_args = {"num_cpus": 0.25}
 
-    pairs = minhash_candidate_pairs(ds, num_perm, band_rows, shingle_k, seed)
+    pairs = minhash_candidate_pairs(
+        ds, num_perm, band_rows, shingle_k, seed, max_bucket=max_bucket
+    )
 
     def _dedup_group(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
@@ -413,30 +434,32 @@ class SimHashBandStage:
 
 
 def simhash_neardup_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
-                          text_col: str = "text", id_col: str = "doc_id"):
+                          text_col: str = "text", id_col: str = "doc_id",
+                          max_bucket: int | None = None):
     """SimHash near-dup pairs: band groupby → in-group pairwise hamming ≤
     ``max_hamming`` (signatures ride the shuffle — 8 B/row — so the verify
     needs no lookup side at all) → pair dedup (a pair can match in several
-    bands).  Fully SQL-oracled (ORACLE_SQL['simhash_neardup_pairs'])."""
+    bands).  Fully SQL-oracled (ORACLE_SQL['simhash_neardup_pairs']).
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        sims = group.column("sim").to_pylist()
-        order = np.argsort(ids)
-        a_out, b_out, h_out = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                h = bin(sims[i] ^ sims[j]).count("1")
-                if h <= max_hamming:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    h_out.append(h)
+    Skewed band values are bounded by bucketcap.capped_group_pairs (exact
+    chunk-pair decomposition, pair set unchanged — see that module)."""
+    from .bucketcap import DEFAULT_MAX_BUCKET, capped_group_pairs
+
+    def _hamming_verify(g: pa.Table, iu: np.ndarray, ju: np.ndarray) -> pa.Table:
+        ids = np.asarray(g.column(id_col).to_numpy(zero_copy_only=False))
+        sims = np.asarray(g.column("sim").to_numpy(zero_copy_only=False), dtype=np.uint64)
+        if len(iu):
+            x = sims[iu] ^ sims[ju]
+            h = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+            keep = h <= max_hamming
+        else:
+            h = np.empty(0, dtype=np.int64)
+            keep = np.zeros(0, dtype=bool)
         return pa.table(
             {
-                "id_a": pa.array(a_out, type=pa.int64()),
-                "id_b": pa.array(b_out, type=pa.int64()),
-                "hamming": pa.array(h_out, type=pa.int32()),
+                "id_a": pa.array(ids[iu][keep], type=pa.int64()),
+                "id_b": pa.array(ids[ju][keep], type=pa.int64()),
+                "hamming": pa.array(h[keep].astype(np.int32), type=pa.int32()),
             }
         )
 
@@ -450,8 +473,16 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
         concurrency=(1, 16),
         zero_copy_batch=True,
     )
-    pairs = bands.groupby(["band_idx", "band_val"]).map_groups(
-        _pairs, batch_format="pyarrow"
+    pairs = capped_group_pairs(
+        bands,
+        group_cols=["band_idx", "band_val"],
+        id_col=id_col,
+        payload_cols=["sim"],
+        verify_fn=_hamming_verify,
+        pair_schema=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32())]
+        ),
+        max_bucket=max_bucket or DEFAULT_MAX_BUCKET,
     )
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         _dedup_group, batch_format="pyarrow"

@@ -158,34 +158,42 @@ def lsh_neardup_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ):
     """Scale-path near-dup: hyperplane LSH buckets → exact cosine verify
     INSIDE the bucket group — nothing broadcast, nothing on the driver.
 
     The signature stage passes the vector through, so the one groupby
-    (bucket) ships (id, vector) rows; each group then does a local pairwise
-    matmul and keeps cosine ≥ threshold.  With a single signature per vector
-    every pair lands in at most one bucket, so no pair-dedup pass is needed.
-    Recall < 1 by design (pairs split across buckets are missed); raise
-    recall with repeated bands (seed variation) like minhash banding."""
-    from ..functions.numeric import duck_round
+    (bucket) ships (id, vector) rows; each group then verifies candidate
+    index pairs with a vectorized dot product and keeps cosine ≥ threshold.
+    With a single signature per vector every pair lands in at most one
+    bucket, so no pair-dedup pass is needed.  Recall < 1 by design (pairs
+    split across buckets are missed); raise recall with repeated bands
+    (seed variation) like minhash banding.
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        m = _normalize(_matrix(group, vec_col))
-        ids = np.asarray(group.column(id_col).to_numpy(zero_copy_only=False))
-        order = np.argsort(ids)
-        ids, m = ids[order], m[order]
-        cos = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
+    Skewed buckets (near-identical embeddings all sharing one signature)
+    are bounded by bucketcap.capped_group_pairs — exact chunk-pair
+    decomposition; the vector payload of an oversized bucket ships
+    ceil(n/max_bucket) times instead of feeding one quadratic task."""
+    from ..functions.numeric import duck_round
+    from .bucketcap import DEFAULT_MAX_BUCKET, capped_group_pairs
+
+    def _cosine_verify(g: pa.Table, iu: np.ndarray, ju: np.ndarray) -> pa.Table:
+        ids = np.asarray(g.column(id_col).to_numpy(zero_copy_only=False))
+        m = _normalize(_matrix(g, vec_col))
         # threshold on the ROUNDED value, matching the SQL oracle's
         # `WHERE round(cos, 4) >= t` — last-ulp float drift can't flip a row
-        rounded = duck_round(cos[iu, ju], 4) if len(iu) else np.empty(0)
+        if len(iu):
+            cos = np.einsum("ij,ij->i", m[iu], m[ju])
+            rounded = np.asarray(duck_round(cos, 4))
+        else:
+            rounded = np.empty(0)
         keep = rounded >= threshold
         return pa.table(
             {
-                "id_a": pa.array(ids[iu[keep]].tolist(), type=pa.int64()),
-                "id_b": pa.array(ids[ju[keep]].tolist(), type=pa.int64()),
-                "cos": pa.array(np.asarray(rounded)[keep].tolist(), type=pa.float64()),
+                "id_a": pa.array(ids[iu][keep].tolist(), type=pa.int64()),
+                "id_b": pa.array(ids[ju][keep].tolist(), type=pa.int64()),
+                "cos": pa.array(rounded[keep].tolist(), type=pa.float64()),
             }
         )
 
@@ -199,19 +207,28 @@ def lsh_neardup_pairs(
         concurrency=(1, 16),
         zero_copy_batch=True,
     )
-    return sigs.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
+    return capped_group_pairs(
+        sigs,
+        group_cols=["bucket"],
+        id_col=id_col,
+        payload_cols=[vec_col],
+        verify_fn=_cosine_verify,
+        pair_schema=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("cos", pa.float64())]
+        ),
+        max_bucket=max_bucket or DEFAULT_MAX_BUCKET,
+    )
 
 
 # ----------------------------------------------------------------- IVF ANN
-def train_ivf_centroids(ds, n_centroids: int = 16, n_iters: int = 8,
-                        sample_size: int = 2048, seed: int = 11,
-                        vec_col: str = "embedding") -> np.ndarray:
-    """Mini k-means (cosine/spherical) on a BOUNDED sample — the standard
-    IVF training step: the sample (≤ sample_size rows) is the only data the
-    driver ever holds; the resulting centroid matrix is tiny and broadcasts.
-    Deterministic under the seed (fixed init, fixed iteration count)."""
-    sample = ds.limit(sample_size).take_all()
-    m = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+def spherical_kmeans(m: np.ndarray, n_centroids: int, n_iters: int = 8,
+                     seed: int = 11) -> np.ndarray:
+    """Pure-numpy spherical k-means core — shared verbatim by the Ray
+    training path (train_ivf_centroids) and the DuckDB oracle generator
+    (pipelines/queries.py::_sql_knn_ivf inlines the resulting centroids as
+    SQL literals), so both sides train bit-identical centroids.
+    Deterministic under the seed (fixed init, fixed iteration count);
+    ``m`` must already be row-normalized and in a canonical row order."""
     rng = np.random.RandomState(seed)
     k = min(n_centroids, len(m))
     centroids = m[rng.choice(len(m), size=k, replace=False)]
@@ -225,6 +242,23 @@ def train_ivf_centroids(ds, n_centroids: int = 16, n_iters: int = 8,
                 if n > 0:
                     centroids[c] = v / n
     return centroids
+
+
+def train_ivf_centroids(ds, n_centroids: int = 16, n_iters: int = 8,
+                        sample_size: int = 2048, seed: int = 11,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> np.ndarray:
+    """Mini k-means (cosine/spherical) on a BOUNDED sample — the standard
+    IVF training step: the sample (≤ sample_size rows) is the only data the
+    driver ever holds; the resulting centroid matrix is tiny and broadcasts.
+
+    The sample is sorted by ``id_col`` before training, so when the corpus
+    fits in the sample the centroids are independent of block/read order
+    (this is what lets the SQL oracle retrain the same centroids)."""
+    sample = ds.limit(sample_size).take_all()
+    sample.sort(key=lambda r: r[id_col])
+    m = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+    return spherical_kmeans(m, n_centroids, n_iters=n_iters, seed=seed)
 
 
 class IVFAssignStage:
@@ -284,18 +318,21 @@ def ivf_knn(ds, query_vec, centroids: np.ndarray, k: int = 10,
 
 
 def lsh_bucket_pairs(ds, dim: int, n_planes: int = 12, seed: int = 7,
-                     id_col: str = "vec_id", vec_col: str = "embedding"):
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     max_bucket: int | None = None):
     """Scale path: bucket by hyperplane signature, emit candidate pairs per
-    bucket (groupby bucket — the only shuffle; bucket payload is ids only)."""
+    bucket (groupby bucket — the only shuffle; bucket payload is ids only).
+    Oversized buckets decompose exactly via bucketcap.capped_group_pairs."""
+    from .bucketcap import DEFAULT_MAX_BUCKET, capped_group_pairs
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column(id_col).to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"id_a": pa.array(a, type=pa.int64()), "id_b": pa.array(b, type=pa.int64())})
+    def _ids_verify(g: pa.Table, iu: np.ndarray, ju: np.ndarray) -> pa.Table:
+        ids = np.asarray(g.column(id_col).to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "id_a": pa.array(ids[iu], type=pa.int64()),
+                "id_b": pa.array(ids[ju], type=pa.int64()),
+            }
+        )
 
     sigs = ds.map_batches(
         HyperplaneLSHStage,
@@ -304,4 +341,12 @@ def lsh_bucket_pairs(ds, dim: int, n_planes: int = 12, seed: int = 7,
         concurrency=(1, 16),
         zero_copy_batch=True,
     )
-    return sigs.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
+    return capped_group_pairs(
+        sigs,
+        group_cols=["bucket"],
+        id_col=id_col,
+        payload_cols=[],
+        verify_fn=_ids_verify,
+        pair_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
+        max_bucket=max_bucket or DEFAULT_MAX_BUCKET,
+    )

@@ -1,0 +1,155 @@
+"""Skew protection for LSH band buckets (stages/bucketcap.py).
+
+The scale hazard: boilerplate-heavy corpora put thousands of near-identical
+docs into one band bucket; an unbounded map_groups over that bucket is one
+quadratic straggler task.  capped_group_pairs decomposes oversized buckets
+EXACTLY (triangle chunk-pair tasks), so these tests assert (a) the pure
+decomposition covers every pair exactly once, (b) each family's pair set is
+bit-identical capped vs uncapped on a mixed corpus whose hot bucket exceeds
+the cap, and (c) a ≥1000-identical-doc pathological corpus completes with
+bounded per-task group sizes and the exact expected pair count.
+"""
+
+import itertools
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from crawl4ai_ray.stages.bucketcap import triangle_tasks
+from crawl4ai_ray.stages.dedup import minhash_candidate_pairs, simhash_neardup_pairs
+from crawl4ai_ray.stages.similarity import lsh_bucket_pairs, lsh_neardup_pairs
+
+UNCAPPED = 10**9
+
+
+# ------------------------------------------------------------ pure helper
+@pytest.mark.parametrize("n,c", [(1, 5), (5, 5), (6, 5), (13, 4), (100, 7), (1000, 64)])
+def test_triangle_tasks_cover_every_pair_exactly_once(n, c):
+    per_task: dict[tuple, list[int]] = {}
+    memberships_per_row = np.zeros(n, dtype=int)
+    for r, i, j in triangle_tasks(n, c):
+        per_task.setdefault((i, j), []).append(r)
+        memberships_per_row[r] += 1
+    m = math.ceil(n / c)
+    assert (memberships_per_row == m).all()
+    seen = set()
+    for (i, j), rows in per_task.items():
+        # bounded: a task holds at most two chunks of rows
+        assert len(rows) <= 2 * c
+        chunks = {r // c for r in rows}
+        assert chunks <= {i, j}
+        if i == j:
+            pairs = itertools.combinations(sorted(rows), 2)
+        else:
+            lo = sorted(r for r in rows if r // c == i)
+            hi = sorted(r for r in rows if r // c == j)
+            pairs = itertools.product(lo, hi)
+        for p in pairs:
+            assert p not in seen, f"pair {p} emitted by two tasks"
+            seen.add(p)
+    assert seen == {(a, b) for a in range(n) for b in range(a + 1, n)}
+
+
+# --------------------------------------------------- capped == uncapped
+@pytest.fixture(scope="module")
+def mixed_docs():
+    # 120 identical docs (hot bucket ≫ cap 16) + 30 distinct
+    texts = ["the quick brown fox jumps over the lazy dog again and again"] * 120 + [
+        f"unique document {i} with tokens {i * 7} {i * 13} {i * 29}" for i in range(30)
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(list(range(150)), type=pa.int64()), "text": pa.array(texts)}
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def mixed_vectors():
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=8)
+    vecs = [list(base + rng.normal(scale=1e-6, size=8)) for _ in range(120)] + [
+        list(rng.normal(size=8)) for _ in range(30)
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(150)), type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+            }
+        )
+    )
+
+
+def test_minhash_pairs_identical_under_cap(mixed_docs):
+    kw = dict(num_perm=16, band_rows=8)
+    capped = {(r["id_a"], r["id_b"])
+              for r in minhash_candidate_pairs(mixed_docs, max_bucket=16, **kw).take_all()}
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in minhash_candidate_pairs(mixed_docs, max_bucket=UNCAPPED, **kw).take_all()}
+    assert capped == uncapped
+    assert len(capped) >= 120 * 119 // 2
+
+
+def test_simhash_pairs_identical_under_cap(mixed_docs):
+    capped = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in simhash_neardup_pairs(mixed_docs, max_bucket=16).take_all()}
+    uncapped = {(r["id_a"], r["id_b"], r["hamming"])
+                for r in simhash_neardup_pairs(mixed_docs, max_bucket=UNCAPPED).take_all()}
+    assert capped == uncapped
+    assert len(capped) >= 120 * 119 // 2
+
+
+def test_embedding_lsh_pairs_identical_under_cap(mixed_vectors):
+    kw = dict(dim=8, threshold=0.9, n_planes=6, seed=7)
+    capped = {(r["id_a"], r["id_b"], r["cos"])
+              for r in lsh_neardup_pairs(mixed_vectors, max_bucket=16, **kw).take_all()}
+    uncapped = {(r["id_a"], r["id_b"], r["cos"])
+                for r in lsh_neardup_pairs(mixed_vectors, max_bucket=UNCAPPED, **kw).take_all()}
+    assert capped == uncapped
+    assert len(capped) >= 120 * 119 // 2
+
+
+def test_bucket_candidate_pairs_identical_under_cap(mixed_vectors):
+    kw = dict(dim=8, n_planes=6, seed=7)
+    capped = {(r["id_a"], r["id_b"])
+              for r in lsh_bucket_pairs(mixed_vectors, max_bucket=16, **kw).take_all()}
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in lsh_bucket_pairs(mixed_vectors, max_bucket=UNCAPPED, **kw).take_all()}
+    assert capped == uncapped
+
+
+# ------------------------------------------------ pathological 1000-dup
+def test_pathological_identical_corpus_completes_bounded():
+    """≥1000 byte-identical docs — every one lands in the SAME band bucket
+    of every band.  With max_bucket=64 the route stage fans the bucket into
+    ceil(1000/64)=16 chunks / 136 tasks per band; the full 499500-pair
+    triangle still comes out exactly once."""
+    n = 1000
+    texts = ["boilerplate page body repeated across the entire mirror site"] * n
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(n)), type=pa.int64()), "text": pa.array(texts)})
+    )
+    # one band (num_perm == band_rows) → no cross-band dupes → exact count
+    pairs = minhash_candidate_pairs(ds, num_perm=8, band_rows=8, max_bucket=64)
+    assert pairs.count() == n * (n - 1) // 2
+    sample = pairs.limit(5).take_all()
+    assert all(r["id_a"] < r["id_b"] for r in sample)
+
+
+def test_pathological_identical_vectors_completes_bounded():
+    n = 1000
+    vec = list(np.linspace(0.1, 1.0, 8))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(n)), type=pa.int64()),
+                "embedding": pa.array([vec] * n, type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = lsh_neardup_pairs(ds, dim=8, threshold=0.99, n_planes=6, seed=7, max_bucket=64)
+    assert out.count() == n * (n - 1) // 2
