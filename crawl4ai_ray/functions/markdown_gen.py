@@ -33,7 +33,7 @@ _HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 _BLOCK_TAGS = {
     "html", "body", "p", "div", "section", "article", "header", "footer",
     "nav", "main", "aside", "figure", "figcaption", "ul", "ol", "li",
-    "blockquote", "pre", "hr", "table", "video", "audio",
+    "blockquote", "pre", "hr", "table", "dl", "video", "audio",
 } | set(_HEADINGS)
 _SKIP_TAGS = {"script", "style", "head", "title", "meta", "link"}
 _ABS_URL_RE = re.compile(r"^[a-zA-Z+]+://")
@@ -120,7 +120,11 @@ class MarkdownConverter:
         out: list[str] = []
         prev = None
         for text, kind in blocks:
-            if prev is not None:
+            if kind == "dl":
+                # html2text's dl-start swallows the pending paragraph break;
+                # the block text carries its own "\n\n" when it leads with dt
+                pass
+            elif prev is not None:
                 out.append("\n")
             elif kind == "pre":
                 out.append("\n")
@@ -130,7 +134,10 @@ class MarkdownConverter:
             prev = kind
         if prev is None:
             return "\n"  # html2text: no content still yields one newline
-        return "".join(out) + "\n"
+        s = "".join(out)
+        if s.endswith("  "):  # the final table row's br suffix is dropped
+            s = s[:-2]
+        return s + "\n"
 
     def _walk_blocks(self, node, blocks, list_depth):
         """Walk children: contiguous inline content forms implicit
@@ -183,16 +190,150 @@ class MarkdownConverter:
             if text:
                 blocks.append(("* " + text, "normal"))
         elif tag == "blockquote":
-            inner: list[tuple[str, str]] = []
-            self._walk_blocks(node, inner, list_depth)
-            quoted = "\n".join(
-                "\n".join("> " + ln for ln in text.split("\n"))
-                for text, _k in inner
-            )
-            if quoted:
-                blocks.append((quoted, "normal"))
+            lines = self._quote_lines(node, depth=1, chain=True)
+            if lines:
+                blocks.append(("\n".join(lines), "normal"))
+        elif tag == "table":
+            text = self._table_block(node)
+            if text is not None:
+                blocks.append((text, "table"))
+        elif tag == "dl":
+            text = self._dl_block(node)
+            if text:
+                blocks.append((text, "dl"))
         else:  # p, div, nav, figure, ... : implicit-paragraph container
             self._walk_blocks(node, blocks, list_depth)
+
+    # ---------------------------------------------------------------- table
+    def _table_block(self, node) -> str | None:
+        """html2text non-padded table: first row (th or td alike) then a
+        ---|--- separator sized to it, cells joined '| ', every line
+        br-suffixed ('  ') — the document-final suffix is stripped in
+        _join.  Caption text flows straight into the first row line."""
+        caption_parts: list[str] = []
+        rows: list[list[str]] = []
+
+        def walk(n):
+            for c in n.children:
+                if isinstance(c, str) or c.tag in _SKIP_TAGS:
+                    continue
+                if c.tag == "caption":
+                    caption_parts.append(self._render_inline(c))
+                elif c.tag == "tr":
+                    cells = [
+                        self._render_inline(cc)
+                        for cc in c.children
+                        if not isinstance(cc, str) and cc.tag in ("td", "th")
+                    ]
+                    if cells:
+                        rows.append(cells)
+                elif c.tag in ("thead", "tbody", "tfoot"):
+                    walk(c)
+
+        walk(node)
+        if not rows:
+            return None
+        first = "".join(caption_parts) + "| ".join(rows[0])
+        lines = [first, "|".join(["---"] * len(rows[0]))]
+        lines.extend("| ".join(r) for r in rows[1:])
+        return "  \n".join(lines) + "  "
+
+    # ------------------------------------------------------------------- dl
+    def _dl_block(self, node) -> str:
+        """html2text dl: every dt is led by a literal '\\n\\n' and trailed
+        by '\\n'; every dd is '    ' + inline text with NO trailing newline
+        (consecutive dds share a line).  The inline stressed state carries
+        across dt→dd (reference state machine never resets it)."""
+        parts: list[str] = []
+        carry = False
+        for c in node.children:
+            if isinstance(c, str) or c.tag in _SKIP_TAGS:
+                continue
+            if c.tag in ("dt", "dd"):
+                inline = _Inline()
+                inline.preceding_stressed = carry
+                if carry:
+                    # the carried stressed-space must survive _Inline's
+                    # first-part lstrip (it's mid-stream in the reference)
+                    inline.parts.append("")
+                self._inline_node_children(c, inline)
+                text = inline.result()
+                carry = inline.preceding_stressed or inline.stressed
+                if c.tag == "dt":
+                    parts.append("\n\n" + text + "\n")
+                else:
+                    parts.append("    " + text)
+        return "".join(parts)
+
+    # ------------------------------------------------------------ blockquote
+    def _quote_lines(self, node, depth: int, chain: bool) -> list[str]:
+        """Render a blockquote to prefixed lines.  Reference quirk: a chain
+        of quote-opens with no content between them prints '> ' per level
+        ('> > > deep'), while every later line at depth d gets '>'*d + ' '
+        ('>> continuation')."""
+        lines: list[str] = []
+        inline = _Inline()
+
+        def pfx() -> str:
+            if chain and not lines:
+                return "> " * depth
+            return ">" * depth + " "
+
+        def flush():
+            nonlocal inline
+            text = inline.result()
+            if text:
+                for ln in text.split("\n"):
+                    lines.append(pfx() + ln)
+            inline = _Inline()
+
+        def emit_blocks(child):
+            inner: list[tuple[str, str]] = []
+            self._block_node(child, inner, 0)
+            for text, _k in inner:
+                for ln in text.split("\n"):
+                    lines.append(pfx() + ln)
+
+        for c in node.children:
+            if isinstance(c, str):
+                self._inline_node(c, inline, None)
+                continue
+            if c.tag in _SKIP_TAGS:
+                continue
+            if c.tag == "blockquote":
+                flush()
+                lines.extend(self._quote_lines(c, depth + 1, chain and not lines))
+            elif c.tag in _HEADINGS:
+                flush()
+                text = self._render_inline(c, in_heading=True)
+                if text:
+                    lines.append(pfx() + "#" * _HEADINGS[c.tag] + " " + text)
+            elif c.tag in ("ul", "ol"):
+                flush()
+                items: list[str] = []
+                self._list_items(c, items, depth=0)
+                lines.extend(pfx() + ln for ln in items)
+                # reference tail: a lone prefixed blank then a blank line
+                lines.append(">" * depth + " ")
+                lines.append("")
+            elif c.tag == "pre":
+                flush()
+                content = self._pre_text(c)
+                body = content.split("\n")
+                while body and body[-1] == "":
+                    body.pop()
+                lines.append(">" * depth + " ")
+                lines.append("[code]")
+                lines.extend(">" * depth + "     " + ln if ln else ">" * depth + " "
+                             for ln in body)
+                lines.append("[/code]")
+            elif c.tag in _BLOCK_TAGS:
+                flush()
+                emit_blocks(c)
+            else:
+                self._inline_node(c, inline, None)
+        flush()
+        return lines
 
     def _list_items(self, node, lines, depth):
         ordered = node.tag == "ol"

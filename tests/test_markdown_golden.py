@@ -37,6 +37,60 @@ GOLDENS = [
     ('<p><a href="/j">t</a> <a href="javascript:void(0)">js</a></p>',
      "[t](/j) [js](javascript:void\\(0\\))\n"),
     ("", "\n"),
+    # tables — html2text non-padded style: first row + ---|--- separator,
+    # every table line br-suffixed except the document-final one
+    ("<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr></table>",
+     "A| B  \n---|---  \n1| 2\n"),
+    ("<p>before</p><table><tr><td>only</td></tr></table><p>after</p>",
+     "before\nonly  \n---  \nafter\n"),
+    ("<table><tr><td>r1c1</td></tr><tr><td>r2c1</td><td>r2c2</td></tr></table>",
+     "r1c1  \n---  \nr2c1| r2c2\n"),
+    ("<table><caption>Cap</caption><tr><td>x</td></tr></table>", "Capx  \n---\n"),
+    ("<table></table>", "\n"),
+    # definition lists — dt led by a literal blank pair, dd indented 4,
+    # stressed state carrying dt→dd
+    ("<dl><dt>Term</dt><dd>Definition</dd><dt>T2</dt><dd>D2</dd></dl>",
+     "\n\nTerm\n    Definition\n\nT2\n    D2\n"),
+    ("<p>p</p><dl><dt>Term</dt><dd>Def</dd></dl><p>q</p>", "p\n\nTerm\n    Def\nq\n"),
+    ("<dl><dt><b>T</b></dt><dd>D</dd></dl>", "\n\n**T**\n     D\n"),
+    ("<dl><dd>lonely dd</dd></dl>", "    lonely dd\n"),
+    # nested blockquotes — '> ' per level on an opening chain,
+    # '>'*depth + ' ' on continuations
+    ("<blockquote>outer<blockquote>inner</blockquote>tail</blockquote>",
+     "> outer\n>> inner\n> tail\n"),
+    ("<blockquote><blockquote><blockquote>deep</blockquote></blockquote></blockquote>",
+     "> > > deep\n"),
+    ("<blockquote><blockquote><p>a</p><p>b</p></blockquote></blockquote>",
+     "> > a\n>> b\n"),
+    ("<blockquote><blockquote>in</blockquote><p>after</p></blockquote>",
+     "> > in\n> after\n"),
+    ("<blockquote>a<br>b</blockquote>", "> a  \n> b\n"),
+    ("<blockquote><h2>H</h2>text</blockquote>", "> ## H\n> text\n"),
+]
+
+# exec-parity only (no hardcoded golden): quirky shapes worth pinning to the
+# reference but not worth hand-maintaining expected strings for
+PARITY_EXTRA = [
+    "<table><thead><tr><th>Name</th><th>Qty</th></tr></thead><tbody>"
+    "<tr><td>apple</td><td>3</td></tr><tr><td>pear with space</td><td>12</td></tr>"
+    "</tbody></table>",
+    "<table><tr><td></td><td>x</td></tr><tr><td>a</td><td></td></tr></table>",
+    "<table><tr><th>A</th><th>B</th><th>C</th></tr><tr><td>1</td><td>2</td></tr></table>",
+    "<table><tr></tr></table>",
+    "<h2>H</h2><table><tr><th>A</th></tr><tr><td>1</td></tr><tr><td>2</td></tr></table>",
+    "<table><tr><td><a href='http://x/'>l</a></td>"
+    "<td><img src='http://x/i.png' alt='A'></td></tr></table>",
+    "<table><tbody><tr><td>single</td></tr></tbody></table>",
+    "<table><tr><td>a</td></tr></table><table><tr><td>b</td></tr></table>",
+    "<table><tr><td>a</td><td><b>bold</b></td></tr></table>",
+    "<dl><dt>T1</dt><dt>T2</dt><dd>D</dd><dd>D2</dd></dl>",
+    "<dl><dt>T</dt><dd>D</dd></dl><dl><dt>U</dt><dd>E</dd></dl>",
+    "<blockquote><p>a</p><blockquote><p>b</p></blockquote></blockquote>",
+    "<p>x</p><blockquote><blockquote>deep</blockquote></blockquote>",
+    "<blockquote><p>lead</p><blockquote>in</blockquote></blockquote>",
+    "<blockquote><pre>x=1</pre></blockquote>",
+    "<blockquote>a<ul><li>x</li></ul></blockquote>",
+    "<blockquote>text <b>bold</b> tail</blockquote>",
 ]
 
 
@@ -79,6 +133,8 @@ def ref_convert():
 
 def test_markdown_parity_feature_grid(ref_convert):
     for html, _want in GOLDENS:
+        assert html_to_markdown(html) == ref_convert(html), html
+    for html in PARITY_EXTRA:
         assert html_to_markdown(html) == ref_convert(html), html
 
 
