@@ -98,6 +98,13 @@ class CrawlConfig:
     filter_factory: object = None  # () -> FilterChain
     scorer_factory: object = None  # () -> URLScorer
     best_first_batch: int = 10
+    # scale best-first: pop this many merge-rounds per pipeline pass —
+    # popping k·batch in ONE pop_global_batch call is exactly "k successive
+    # pops with no pushes between", so within-pass priority order is
+    # preserved while the fixed pipeline-launch cost amortizes k×.  The
+    # tradeoff (standard frontier greediness) is that discoveries from the
+    # pass can't preempt URLs later in the same pass.
+    best_first_rounds_per_pass: int = 8
     enrich: bool = False  # post-extract quality/langid/simhash enrichment
     keep_markdown: bool = True  # False drops the derivable markdown column
     #                             before the docs sink (spans are the
@@ -1141,7 +1148,14 @@ class CrawlEngine:
         while self.pages_crawled < cfg.max_pages:
             if cfg.max_epochs is not None and batch_idx >= cfg.max_epochs:
                 break
-            popped = sheap.pop_global_batch(cfg.best_first_batch)
+            pass_size = max(
+                cfg.best_first_batch,
+                min(
+                    cfg.best_first_batch * cfg.best_first_rounds_per_pass,
+                    cfg.max_pages - self.pages_crawled,
+                ),
+            )
+            popped = sheap.pop_global_batch(pass_size)
             if not popped:
                 break
             fresh = self.seen.check_and_add(
