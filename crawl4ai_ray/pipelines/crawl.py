@@ -826,6 +826,116 @@ class CrawlEngine:
             return self._run_dfs(seeds)
         raise ValueError(f"unknown strategy {self.config.strategy}")
 
+    def revalidate_and_refresh(self, concurrency: int = 8) -> dict:
+        """Smart-Cache resume (reference async_webcrawler.py:273-315 +
+        cache_validator.py): instead of skipping seen URLs forever, read the
+        cached validator catalog (url, etag, last_modified,
+        head_fingerprint — persisted by FetchStage/extract_batch), run the
+        two-layer revalidation per URL (RevalidateStage actor pool:
+        conditional request → 304 = fresh; else head fetch → fingerprint
+        match = fresh), and refetch ONLY the stale URLs as a fresh docs
+        epoch.  Fresh and errored URLs keep their cached docs (error → use
+        cache, reference semantics).  The stale refetch reuses the normal
+        fetch→extract→lineage chain but skips frontier re-expansion: link
+        discovery already ran for these pages and seen gating is unchanged.
+
+        The catalog is (url + 3 short strings) per cached page — the doc
+        bodies never enter this pipeline; the latest-epoch-per-url pick is
+        one groupby(url) over that catalog."""
+        import pyarrow.compute as pc
+
+        from ..stages.revalidate import RevalidateStage
+
+        dirs = self.store.docs_dirs()
+        zero = {"checked": 0, "fresh_304": 0, "fresh_fingerprint": 0,
+                "stale": 0, "error": 0, "refetched": 0}
+        if not dirs:
+            return zero
+        files = [
+            os.path.join(d, f)
+            for d in dirs
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            return zero
+        cat = ray.data.read_parquet(
+            files,
+            columns=["url", "depth", "etag", "last_modified",
+                     "head_fingerprint", "frontier_epoch", "success"],
+        )
+        cat = cat.map_batches(
+            lambda b: b.filter(pc.equal(b.column("success"), True)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+        def _latest(group: pa.Table) -> pa.Table:
+            i = pc.index(
+                group.column("frontier_epoch"),
+                pc.max(group.column("frontier_epoch")),
+            ).as_py()
+            return group.slice(i, 1)
+
+        cat = cat.groupby("url").map_groups(_latest, batch_format="pyarrow")
+        rv = cat.map_batches(
+            RevalidateStage,
+            fn_constructor_kwargs=dict(transport=self.transport),
+            batch_format="pyarrow",
+            concurrency=(1, concurrency),
+            zero_copy_batch=True,
+        ).materialize()  # url + verdict + validators — catalog-sized, not corpus-sized
+        counts = dict(zero)
+        for r in rv.groupby("verdict").count().take_all():
+            counts[r["verdict"]] = r["count()"]
+        counts["checked"] = sum(
+            counts[k] for k in ("fresh_304", "fresh_fingerprint", "stale", "error")
+        )
+        if counts["stale"] == 0:
+            return counts
+
+        next_epoch = 1 + max(
+            int(d.rsplit("epoch=", 1)[1]) for d in dirs
+        )
+        refetched = 0
+        stale_ds = rv.map_batches(
+            lambda b: b.filter(pc.equal(b.column("verdict"), "stale")).select(
+                ["url", "depth"]
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        # stream stale URLs in bounded driver chunks (seen_round_chunk
+        # pattern), one refetch pipeline per chunk
+        rows: list[dict] = []
+        chunk = self.config.seen_round_chunk
+        for b in stale_ds.iter_batches(batch_size=chunk, batch_format="pyarrow"):
+            rows.extend(
+                {"url": u, "depth": int(d), "parent_url": None, "score": 0.0}
+                for u, d in zip(
+                    b.column("url").to_pylist(), b.column("depth").to_pylist()
+                )
+            )
+            if len(rows) >= chunk:
+                refetched += self._refetch_epoch(rows, next_epoch)
+                next_epoch += 1
+                rows = []
+        if rows:
+            refetched += self._refetch_epoch(rows, next_epoch)
+        counts["refetched"] = refetched
+        return counts
+
+    def _refetch_epoch(self, rows: list[dict], epoch: int) -> int:
+        """Fetch+extract+lineage the given URLs into a fresh docs epoch
+        (revalidation refresh — no frontier expansion, no seen mutation)."""
+        frontier = _frontier_table(rows, epoch, self.config.num_seen_shards)
+        ds = self._epoch_transform_ds(frontier, epoch)
+        docs_dir = self.store.docs_epoch_dir(epoch)
+        ds.write_parquet(docs_dir)
+        n = len(rows)
+        manifest = self.store.read_manifest() or {}
+        manifest.update({"revalidation_epoch": epoch, "revalidation_refetched": n})
+        self.store.write_manifest(manifest)
+        return n
+
     def _run_bfs(self, seeds: list[str], resume: bool) -> dict:
         if self.config.deterministic:
             return self._run_bfs_parity(seeds, resume)

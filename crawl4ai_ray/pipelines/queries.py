@@ -469,6 +469,25 @@ def dedup_exact(sf_dir: str):
     return pa.Table.from_pylist(exact_dedup(ds, "text", "doc_id").take_all())
 
 
+def llm_extract_demo(sf_dir: str):
+    """LLM block-extraction actor shape over documents (rows-only: the
+    deterministic FakeLLMClient stands in for the absent model — the chunk
+    merge, prompt templating, <blocks> parsing, error-block contract and
+    token accounting are the real reference semantics,
+    extraction_strategy.py:493-743).  Actor pool: client built once per
+    actor in __init__."""
+    from ..functions.llm_extract import LLMExtractionStage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LLMExtractionStage,
+        fn_constructor_kwargs=dict(instruction="summarize the key facts"),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        zero_copy_batch=True,
+    )
+
+
 def token_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1882,6 +1901,7 @@ QUERIES = {
     "events_value_bands": events_value_bands,
     "dedup_exact": dedup_exact,
     "token_counts": token_counts,
+    "llm_extract_demo": llm_extract_demo,
     "token_counts_bpe": token_counts_bpe,
     "quality_scores": quality_scores,
     "lang_distribution": lang_distribution,

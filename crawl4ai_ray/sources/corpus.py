@@ -196,7 +196,8 @@ def golden_spans(params: CorpusParams, host_idx: int, page_id: int) -> list[dict
     ]
 
 
-def synthesize_html(params: CorpusParams, host_idx: int, page_id: int) -> str:
+def synthesize_html(params: CorpusParams, host_idx: int, page_id: int,
+                    version: int = 0) -> str:
     """Render the page.  Link decoys (fragment, tracking-param, mailto,
     javascript) and icon images are injected so extraction/normalization have
     something to reject; they never appear in the golden spans (icons carry
@@ -212,11 +213,14 @@ def synthesize_html(params: CorpusParams, host_idx: int, page_id: int) -> str:
         f'<meta name="description" content="Synthetic page {page_id} on {host}">'
         f'<meta name="keywords" content="synthetic,crawl,page{page_id}">'
         f'<meta property="og:title" content="{title}">'
-        "</head>"
+        + (f'<meta name="x-rev" content="{version}">' if version else "")
+        + "</head>"
     )
     body: list[str] = ["<body>"]
     body.append(f'<nav class="breadcrumb">Home &gt; section {page_id % 7} &gt; page {page_id}</nav>')
     body.append(f"<h1>{title}</h1>")
+    if version:
+        body.append(f"<p>revision {version} of this page</p>")
     n_paras = params.n_paras_min + rng.randrange(params.n_paras_max - params.n_paras_min + 1)
     n_imgs = rng.randrange(3)
     for p in range(n_paras):
@@ -279,10 +283,24 @@ def robots_map(params: CorpusParams) -> dict[str, str]:
 class SyntheticTransport:
     """Fetch transport that regenerates pages from the URL (no network, no
     storage).  Drop-in replaceable by an HTTP transport on a real deployment
-    (reference HTTP path: async_crawler_strategy.py:2402-2481)."""
+    (reference HTTP path: async_crawler_strategy.py:2402-2481).
 
-    def __init__(self, params: CorpusParams):
+    Smart-Cache support (reference cache_validator.py): pages carry
+    deterministic ETag / Last-Modified validators derived from a per-page
+    ``version`` (``page_versions[(host_idx, page_id)]``, default 0).
+    Bumping a version changes the validators, the <head> (an x-rev meta →
+    new head fingerprint) and the body; bumping only ``etag_salt`` rotates
+    every ETag WITHOUT changing content — the "conditional request misses
+    but the head fingerprint still matches" revalidation path."""
+
+    def __init__(self, params: CorpusParams, page_versions: dict | None = None,
+                 etag_salt: int = 0):
         self.params = params
+        self.page_versions = dict(page_versions or {})
+        self.etag_salt = etag_salt
+
+    def _version(self, host_idx: int, page_id: int) -> int:
+        return self.page_versions.get((host_idx, page_id), 0)
 
     def fetch(self, url: str) -> tuple[int, str]:
         hit = parse_page_url(self.params, url)
@@ -292,7 +310,57 @@ class SyntheticTransport:
         status = page_status(self.params, host_idx, page_id)
         if status != 200:
             return (status, "")
-        return (200, synthesize_html(self.params, host_idx, page_id))
+        return (
+            200,
+            synthesize_html(
+                self.params, host_idx, page_id,
+                version=self._version(host_idx, page_id),
+            ),
+        )
+
+    # ----------------------------------------------------- cache validators
+    def validators_of(self, url: str) -> dict:
+        """Current ETag / Last-Modified for a URL ('' when not a 200 page).
+        FetchStage persists these next to the fetched doc so a resume can
+        revalidate instead of skipping seen URLs forever."""
+        import hashlib
+
+        hit = parse_page_url(self.params, url)
+        if hit is None or page_status(self.params, *hit) != 200:
+            return {"etag": "", "last_modified": ""}
+        host_idx, page_id = hit
+        v = self._version(host_idx, page_id)
+        tag = hashlib.md5(
+            f"{host_idx}|{page_id}|{v}|{self.etag_salt}".encode()
+        ).hexdigest()[:16]
+        return {
+            "etag": f'W/"{tag}"',
+            "last_modified": f"Wed, {min(28, 1 + v):02d} Jan 2026 00:00:00 GMT",
+        }
+
+    def conditional_head(self, url: str, etag: str | None = None,
+                         last_modified: str | None = None) -> tuple[int, str]:
+        """HEAD-with-validators (cache_validator.py layers 3+4): 304 when the
+        stored validator still matches, else (200, current <head> section)
+        for fingerprint comparison."""
+        hit = parse_page_url(self.params, url)
+        if hit is None:
+            return (404, "")
+        host_idx, page_id = hit
+        status = page_status(self.params, host_idx, page_id)
+        if status != 200:
+            return (status, "")
+        cur = self.validators_of(url)
+        if etag and etag == cur["etag"]:
+            return (304, "")
+        if last_modified and not etag and last_modified == cur["last_modified"]:
+            return (304, "")
+        html = synthesize_html(
+            self.params, host_idx, page_id,
+            version=self._version(host_idx, page_id),
+        )
+        end = html.find("</head>")
+        return (200, html[: end + 7] if end >= 0 else html)
 
 
 def total_reachable_estimate(params: CorpusParams) -> int:

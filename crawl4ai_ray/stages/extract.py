@@ -565,11 +565,14 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         else [True] * len(urls)
     )
 
+    from ..functions.fit_html import head_fingerprint
+
     spans_col: list[list[dict]] = []
     links_col: list[list[dict]] = []
     titles: list[str] = []
     descriptions: list[str] = []
     markdowns: list[str] = []
+    fingerprints: list[str] = []
     for url, html, ok in zip(urls, htmls, successes):
         if not ok or not html:
             spans_col.append([])
@@ -577,7 +580,9 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             titles.append("")
             descriptions.append("")
             markdowns.append("")
+            fingerprints.append("")
             continue
+        fingerprints.append(head_fingerprint(html))
         page = extract_page(html, url)
         spans_col.append(page["spans"])
         links = [
@@ -614,6 +619,9 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     out = out.append_column("title", pa.array(titles, type=pa.string()))
     out = out.append_column("description", pa.array(descriptions, type=pa.string()))
     out = out.append_column("markdown", pa.array(markdowns, type=pa.string()))
+    out = out.append_column(
+        "head_fingerprint", pa.array(fingerprints, type=pa.string())
+    )
     return out
 
 

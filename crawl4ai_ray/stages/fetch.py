@@ -164,6 +164,23 @@ class FetchStage:
         if "host" not in batch.column_names:
             out = out.append_column("host", pa.array(hosts, type=pa.string()))
         out = out.append_column("html", pa.array(htmls, type=pa.string()))
+        # Smart-Cache validators (reference cache_validator.py): persisted
+        # with the doc so resume can revalidate instead of skipping forever
+        validators_of = getattr(self.transport, "validators_of", None)
+        if validators_of is not None:
+            vals = [
+                validators_of(u) if s == 200 else {"etag": "", "last_modified": ""}
+                for u, s in zip(urls, statuses)
+            ]
+        else:
+            vals = [{"etag": "", "last_modified": ""}] * len(urls)
+        out = out.append_column(
+            "etag", pa.array([v["etag"] for v in vals], type=pa.string())
+        )
+        out = out.append_column(
+            "last_modified",
+            pa.array([v["last_modified"] for v in vals], type=pa.string()),
+        )
         out = out.append_column(
             "status_code", pa.array(statuses, type=pa.int16())
         )

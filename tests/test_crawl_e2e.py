@@ -556,3 +556,57 @@ def test_best_first_scale_mode(tmp_path, ray_session):
     docs = _docs_table(eng_bf).select(["url", "frontier_epoch"]).to_pylist()
     scored_epochs = [r["frontier_epoch"] for r in docs if "/p/1" in r["url"]]
     assert scored_epochs and min(scored_epochs) <= 2
+
+
+def test_smart_cache_revalidation(tmp_path, ray_session):
+    """Smart-Cache resume: changed pages refetch, unchanged pages don't.
+
+    Crawl v0 of a site, then revalidate against a transport where (a) two
+    pages bumped to version 1 (new ETag + new head fingerprint → STALE →
+    refetched into a fresh docs epoch with the new content) and (b) every
+    OTHER page's ETag rotated without content change (etag_salt → the
+    conditional request misses but the head fingerprint still matches →
+    fresh_fingerprint, NOT refetched)."""
+    from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+
+    params = CorpusParams(n_hosts=1, pages_per_host=14, seed=6)
+    cfg = CrawlConfig(max_depth=6, num_seen_shards=2, fetch_batch_size=8,
+                      deterministic=True)
+    engine, summary = _run_engine(tmp_path, params, cfg, name="reval")
+    assert summary["pages_crawled"] > 4
+    docs0 = _docs_table(engine)
+    assert set(docs0.column_names) >= {"etag", "last_modified", "head_fingerprint"}
+    # the catalog is latest-per-URL (the root page is crawled twice — seed +
+    # rediscovery, a reference-parity quirk — but validates once)
+    n0 = len(set(docs0.column("url").to_pylist()))
+
+    # no changes → everything validates via 304, nothing refetched
+    same = engine.revalidate_and_refresh()
+    assert same["stale"] == same["refetched"] == 0
+    assert same["fresh_304"] == same["checked"] == n0
+
+    changed = {(0, 1): 1, (0, 2): 1}
+    bumped = SyntheticTransport(params, page_versions=changed, etag_salt=1)
+    engine2 = CrawlEngine(bumped, cfg, str(tmp_path / "reval"),
+                          robots_bodies=robots_map(params))
+    res = engine2.revalidate_and_refresh()
+    assert res["checked"] == n0
+    assert res["stale"] == res["refetched"] == 2
+    # salt rotation alone must NOT refetch: fingerprint layer catches it
+    assert res["fresh_fingerprint"] == n0 - 2
+    assert res["fresh_304"] == 0
+
+    # the refreshed epoch carries the new content, old urls keep one latest row
+    docs1 = _docs_table(engine2)
+    latest = {}
+    for r in docs1.select(["url", "frontier_epoch", "markdown"]).to_pylist():
+        if r["url"] not in latest or r["frontier_epoch"] > latest[r["url"]]["frontier_epoch"]:
+            latest[r["url"]] = r
+    changed_urls = [u for u, r in latest.items() if "revision 1" in r["markdown"]]
+    assert sorted(changed_urls) == sorted(
+        f"http://{params.host(0)}/p/{p}" for (_h, p) in changed
+    )
+
+    # idempotence: a second revalidation against the same transport is clean
+    res2 = engine2.revalidate_and_refresh()
+    assert res2["stale"] == 0 and res2["fresh_304"] >= 2

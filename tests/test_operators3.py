@@ -595,3 +595,74 @@ def test_embedding_adaptive_state_roundtrip():
     assert b.confidence() == conf
     assert b.state.crawl_order == ["u1", "u2"]
     assert b.kb_embeddings.shape == a.kb_embeddings.shape
+
+
+# ------------------------------------------------------------ llm extract
+class TestLLMExtraction:
+    def test_parse_blocks_happy_path(self):
+        from crawl4ai_ray.functions.llm_extract import parse_blocks
+
+        out = parse_blocks('<blocks>[{"index": 0, "tags": ["t"], "content": ["x"]}]</blocks>')
+        assert out == [{"index": 0, "tags": ["t"], "content": ["x"], "error": False}]
+
+    def test_parse_blocks_fallback_scans_json_objects(self):
+        from crawl4ai_ray.functions.llm_extract import parse_blocks
+
+        noisy = 'preamble {"index": 1, "tags": ["a"]} mid {"broken": } {"index": 2} END'
+        out = parse_blocks(noisy)
+        parsed = [b for b in out if not b.get("error")]
+        errs = [b for b in out if b.get("error")]
+        assert [b["index"] for b in parsed] == [1, 2]
+        assert len(errs) == 1 and "error" in errs[0]["tags"]
+
+    def test_stage_extracts_and_accounts_tokens(self):
+        import json
+
+        import pyarrow as pa
+
+        from crawl4ai_ray.functions.llm_extract import LLMExtractionStage
+
+        long_text = " ".join(f"word{i}" for i in range(500))
+        batch = pa.table(
+            {"doc_id": pa.array([1, 2], type=pa.int64()),
+             "text": pa.array([long_text, "short text only"])}
+        )
+        stage = LLMExtractionStage(chunk_token_threshold=128, overlap_rate=0.1)
+        out = stage(batch)
+        assert out.column_names == [
+            "doc_id", "extracted_content", "n_blocks",
+            "prompt_tokens", "completion_tokens", "total_tokens",
+        ]
+        blocks = json.loads(out.column("extracted_content")[0].as_py())
+        assert len(blocks) >= 2 and all(b["error"] is False for b in blocks)
+        # multi-chunk doc accumulated more prompt tokens than the short one
+        assert out.column("prompt_tokens")[0].as_py() > out.column("prompt_tokens")[1].as_py() > 0
+        assert stage.total_usage.total_tokens == sum(out.column("total_tokens").to_pylist())
+        # deterministic: same input → same output
+        assert stage(batch).column("extracted_content").to_pylist() == out.column(
+            "extracted_content"
+        ).to_pylist()
+
+    def test_error_client_yields_error_block(self):
+        import json
+
+        import pyarrow as pa
+
+        from crawl4ai_ray.functions.llm_extract import LLMExtractionStage
+
+        class Boom:
+            def complete(self, prompt):
+                raise RuntimeError("rate limited")
+
+        stage = LLMExtractionStage(client_factory=Boom)
+        out = stage(pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                              "text": pa.array(["hello world"])}))
+        blocks = json.loads(out.column("extracted_content")[0].as_py())
+        assert blocks[0]["error"] is True and blocks[0]["tags"] == ["error"]
+
+    def test_query_entry_runs(self, ray_session):
+        from crawl4ai_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["llm_extract_demo"]("/root/testdata/sf0.001")
+        t = out.limit(5).take_all()
+        assert len(t) == 5 and all(r["n_blocks"] >= 1 for r in t)
