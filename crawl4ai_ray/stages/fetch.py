@@ -42,6 +42,7 @@ class FetchStage:
         enforce_delays: bool = True,
         local_robots=None,
         max_sessions: int = 20,
+        proxy_strategy=None,
     ):
         """``local_robots``: a RobotsGate evaluated in-task instead of the
         blocking ``acquire`` RPC.  Used when the politeness budget is zero
@@ -56,6 +57,11 @@ class FetchStage:
         self.enforce_delays = enforce_delays
         self.local_robots = local_robots
         self.max_sessions = max_sessions
+        # per-actor proxy rotation hook (state/proxy.py, reference
+        # proxy_strategy.py): sticky per-host sessions, failure feedback
+        # from status codes; transports that route via proxy implement
+        # fetch_via(url, proxy), others just get the rotation bookkeeping
+        self.proxy_strategy = proxy_strategy
         # thread pool is built lazily on first __call__ (in the worker):
         # FetchStage is sometimes shipped as a pre-built closure, and a
         # ThreadPoolExecutor doesn't pickle
@@ -137,13 +143,24 @@ class FetchStage:
 
         enforce = self.enforce_delays
 
+        strategy = self.proxy_strategy
+        fetch_via = getattr(self.transport, "fetch_via", None)
+
         def _fetch_one(i: int) -> tuple[int, int, str]:
             start = grants[i][1]
             if enforce and start > 0:
                 wait = start - time.time()
                 if wait > 0:
                     time.sleep(wait)
-            status, html = self.transport.fetch(urls[i])
+            if strategy is not None:
+                proxy = strategy.get_proxy_for_session(hosts[i])
+                if fetch_via is not None:
+                    status, html = fetch_via(urls[i], proxy)
+                else:
+                    status, html = self.transport.fetch(urls[i])
+                strategy.record_result(proxy, status == 200)
+            else:
+                status, html = self.transport.fetch(urls[i])
             return i, status, html
 
         if self.max_sessions > 1 and len(jobs) > 1:

@@ -216,3 +216,128 @@ def test_sharded_frontier_heap_aging(ray_session):
         assert batch[0]["score"] == 6.0
     finally:
         heap.shutdown()
+
+
+# ------------------------------------------------------------ proxy rotation
+class TestProxyRotation:
+    def test_proxy_config_parsing(self):
+        from crawl4ai_ray.state.proxy import ProxyConfig
+
+        p4 = ProxyConfig.from_string("10.0.0.1:8080:u:pw")
+        assert (p4.server, p4.username, p4.password, p4.ip) == (
+            "http://10.0.0.1:8080", "u", "pw", "10.0.0.1")
+        p2 = ProxyConfig.from_string("10.0.0.2:3128")
+        assert (p2.server, p2.username, p2.ip) == ("http://10.0.0.2:3128", None, "10.0.0.2")
+        import pytest
+        with pytest.raises(ValueError):
+            ProxyConfig.from_string("bad")
+        assert ProxyConfig("http://1.2.3.4:80").ip == "1.2.3.4"
+        assert ProxyConfig("1.2.3.4:80").ip == "1.2.3.4"
+        c = p4.clone(password="new")
+        assert c.password == "new" and c.server == p4.server
+
+    def test_proxy_config_from_env(self, monkeypatch):
+        from crawl4ai_ray.state.proxy import ProxyConfig
+
+        monkeypatch.setenv("PROXIES", "1.1.1.1:80,2.2.2.2:81:u:p,")
+        ps = ProxyConfig.from_env()
+        assert [p.ip for p in ps] == ["1.1.1.1", "2.2.2.2"]
+
+    def test_parity_with_reference_proxy_config(self):
+        import importlib.util
+        import os
+
+        ref_path = "/root/reference/crawl4ai/proxy_strategy.py"
+        if not os.path.exists(ref_path):
+            import pytest
+            pytest.skip("reference not present")
+        spec = importlib.util.spec_from_file_location("ref_proxy", ref_path)
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+        from crawl4ai_ray.state.proxy import ProxyConfig
+
+        for s in ["9.9.9.9:9999:alice:s3cret", "8.8.8.8:53"]:
+            a, b = ProxyConfig.from_string(s), ref.ProxyConfig.from_string(s)
+            assert a.to_dict() == b.to_dict()
+
+    def test_round_robin_and_sticky_sessions(self):
+        from crawl4ai_ray.state.proxy import ProxyConfig, RoundRobinProxyStrategy
+
+        now = [1000.0]
+        ps = [ProxyConfig.from_string(f"10.0.0.{i}:80") for i in range(3)]
+        st = RoundRobinProxyStrategy(ps, clock=lambda: now[0])
+        assert [st.get_next_proxy().ip for _ in range(4)] == [
+            "10.0.0.0", "10.0.0.1", "10.0.0.2", "10.0.0.0"]
+        # sticky: same session -> same proxy; release -> new acquisition
+        a = st.get_proxy_for_session("host-a", ttl=50)
+        assert st.get_proxy_for_session("host-a").server == a.server
+        assert st.get_session_proxy("host-a").server == a.server
+        assert "host-a" in st.get_active_sessions()
+        # TTL expiry
+        now[0] += 60
+        assert st.get_session_proxy("host-a") is None
+        assert "host-a" not in st.get_active_sessions()
+        assert st.cleanup_expired_sessions() == 1
+        b = st.get_proxy_for_session("host-a")
+        assert b is not None
+        st.release_session("host-a")
+        assert st.get_session_proxy("host-a") is None
+
+    def test_failure_aware_quarantine(self):
+        from crawl4ai_ray.state.proxy import FailureAwareProxyStrategy, ProxyConfig
+
+        now = [0.0]
+        ps = [ProxyConfig.from_string(f"10.0.1.{i}:80") for i in range(2)]
+        st = FailureAwareProxyStrategy(ps, max_failures=2, cooldown=30,
+                                       clock=lambda: now[0])
+        bad = ps[0]
+        st.record_result(bad, False)
+        st.record_result(bad, False)  # benched now
+        picks = {st.get_next_proxy().ip for _ in range(4)}
+        assert picks == {"10.0.1.1"}
+        now[0] += 31  # cooldown over
+        picks = {st.get_next_proxy().ip for _ in range(4)}
+        assert picks == {"10.0.1.0", "10.0.1.1"}
+        # whole pool benched -> degrade to rotation, never None
+        for p in ps:
+            st.record_result(p, False)
+            st.record_result(p, False)
+        assert st.get_next_proxy() is not None
+        # success resets failures
+        st.record_result(bad, True)
+        now[0] += 31
+        assert st.get_next_proxy() is not None
+
+    def test_fetch_stage_proxy_hook(self):
+        import pyarrow as pa
+
+        from crawl4ai_ray.stages.fetch import FetchStage
+        from crawl4ai_ray.state.proxy import ProxyConfig, RoundRobinProxyStrategy
+
+        class RecordingTransport:
+            def __init__(self):
+                self.calls = []
+
+            def fetch(self, url):  # pragma: no cover - fetch_via used
+                return (200, "<html></html>")
+
+            def fetch_via(self, url, proxy):
+                self.calls.append((url, proxy.server if proxy else None))
+                return (200, f"<html><body>{url}</body></html>")
+
+        tr = RecordingTransport()
+        st = RoundRobinProxyStrategy(
+            [ProxyConfig.from_string(f"10.9.0.{i}:80") for i in range(2)]
+        )
+        stage = FetchStage(tr, enforce_delays=False, max_sessions=1, proxy_strategy=st)
+        urls = [f"http://h{i % 2}.test/p/{i}" for i in range(6)]
+        batch = pa.table({"url": pa.array(urls)})
+        out = stage(batch)
+        assert out.column("success").to_pylist() == [True] * 6
+        by_host = {}
+        for url, server in tr.calls:
+            host = url.split("/")[2]
+            by_host.setdefault(host, set()).add(server)
+        # sticky per host: each host always rode the same proxy
+        assert all(len(v) == 1 for v in by_host.values())
+        assert by_host["h0.test"] != by_host["h1.test"]
