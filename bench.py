@@ -128,6 +128,10 @@ QUERY_NAMES = [
     "bm25_rank_docs",
     "structured_xpath_roundtrip",
     "raw_markdown_demo",
+    # round-3 additions: IVF ANN probe path, end-to-end keep-one fuzzy dedup
+    # (pairs -> connected components -> survivor stream)
+    "knn_cosine_ivf",
+    "dedup_keep_one",
 ]
 
 

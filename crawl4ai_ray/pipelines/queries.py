@@ -647,6 +647,34 @@ def minhash_neardup_pairs(sf_dir: str):
     return minhash_dedup_pairs(ds, threshold=0.5)
 
 
+def neardup_components(sf_dir: str):
+    """Connected components over the verified minhash near-dup graph:
+    (doc_id, component_id = min doc id in the component) for every doc
+    touched by a pair.  Ray side: groupby-only min-label propagation
+    (stages/dedup.py::connected_components — no Dataset.join, converges in
+    diameter rounds); oracle: recursive transitive closure over the same
+    SQL-recomputed pair set."""
+    from ..stages.dedup import connected_components, minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, threshold=0.5)
+    return connected_components(pairs)
+
+
+def dedup_keep_one(sf_dir: str):
+    """Corpus keep-one fuzzy dedup end-to-end: minhash near-dup pairs →
+    connected components → drop every non-min member; survivors stream out
+    with their payload columns (the corpus passes through one groupby
+    anti-join — nothing corpus-sized broadcasts or reaches the driver)."""
+    from ..stages.dedup import keep_one_survivors, minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.5
+    )
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return keep_one_survivors(docs, pairs)
+
+
 # -------------------------------------------------------------- embeddings
 
 def _query_vec(sf_dir: str):
@@ -1611,19 +1639,20 @@ WHERE (CASE WHEN n_u = 0 THEN 1.0 ELSE n_i * 1.0 / n_u END) >= {threshold}
 """
 
 
-def _sql_minhash_pairs(threshold: float = 0.5, num_perm: int = 64,
-                       band_rows: int = 8, seed: int = 1) -> str:
-    """Full SQL reimplementation of the minhash+LSH+jaccard-verify pipeline
-    (stages/dedup.py) — same md5 shingle hashes, same multiply-shift perms
-    from RandomState(seed), same '-'-joined decimal band keys."""
+def _sql_minhash_cte_chain(threshold: float = 0.5, num_perm: int = 64,
+                           band_rows: int = 8, seed: int = 1) -> str:
+    """CTE chain ending in ``verified(id_a, id_b, jac)`` — the full SQL
+    reimplementation of the minhash+LSH+jaccard-verify pipeline
+    (stages/dedup.py): same md5 shingle hashes, same multiply-shift perms
+    from RandomState(seed), same '-'-joined decimal band keys.  Shared by
+    the pairs oracle and the component/keep-one oracles built on top."""
     rng = np.random.RandomState(seed)
     a = rng.randint(1, 2**30, size=num_perm).astype(np.uint64) * 2 + 1
     b = rng.randint(0, 2**31, size=num_perm).astype(np.uint64)
     perm_rows = ", ".join(
         f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
     )
-    return f"""
-WITH {_sql_shingle_ctes()},
+    return f"""{_sql_shingle_ctes()},
 mins AS (
     SELECT s.doc_id, p.pid,
            CASE WHEN len(s.shs) = 0 THEN CAST('18446744073709551615' AS HUGEINT)
@@ -1652,11 +1681,60 @@ jac AS (
     FROM cand c
     JOIN sh sa ON sa.doc_id = c.id_a
     JOIN sh sb ON sb.doc_id = c.id_b
+),
+verified AS (
+    SELECT id_a, id_b,
+           round(CASE WHEN n_u = 0 THEN 1.0 ELSE n_i * 1.0 / n_u END, 4) AS jac
+    FROM jac
+    WHERE (CASE WHEN n_u = 0 THEN 1.0 ELSE n_i * 1.0 / n_u END) >= {threshold}
+)"""
+
+
+def _sql_minhash_pairs(**kw) -> str:
+    return f"""
+WITH {_sql_minhash_cte_chain(**kw)}
+SELECT id_a, id_b, jac AS jaccard FROM verified
+"""
+
+
+def _sql_components_cte() -> str:
+    """CTE chain (appended after a chain providing ``verified(id_a, id_b)``)
+    ending in ``comp(doc_id, component_id)`` — component_id = min doc id
+    reachable in the near-dup graph, via a recursive transitive closure
+    (the pair set is candidate-pair scale, so closure is cheap for the
+    oracle; the Ray side uses min-label propagation —
+    stages/dedup.py::connected_components)."""
+    return """
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM verified
+    UNION
+    SELECT id_b AS a, id_a AS b FROM verified
+),
+reach(n, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (
+    SELECT n AS doc_id, min(r) AS component_id FROM reach GROUP BY n
+)"""
+
+
+def _sql_neardup_components(**kw) -> str:
+    return f"""
+WITH RECURSIVE {_sql_minhash_cte_chain(**kw)},{_sql_components_cte()}
+SELECT doc_id, component_id FROM comp
+"""
+
+
+def _sql_dedup_keep_one(**kw) -> str:
+    return f"""
+WITH RECURSIVE {_sql_minhash_cte_chain(**kw)},{_sql_components_cte()}
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (
+    SELECT doc_id FROM comp WHERE doc_id <> component_id
 )
-SELECT id_a, id_b,
-       round(CASE WHEN n_u = 0 THEN 1.0 ELSE n_i * 1.0 / n_u END, 4) AS jaccard
-FROM jac
-WHERE (CASE WHEN n_u = 0 THEN 1.0 ELSE n_i * 1.0 / n_u END) >= {threshold}
 """
 
 
@@ -1911,6 +1989,8 @@ QUERIES = {
     "simhash_docs": simhash_docs,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "minhash_neardup_pairs": minhash_neardup_pairs,
+    "neardup_components": neardup_components,
+    "dedup_keep_one": dedup_keep_one,
     "jaccard_neardup_exact": jaccard_neardup_exact_pairs,
     "knn_cosine_top10": knn_cosine_top10,
     "knn_cosine_lsh": knn_cosine_lsh,
@@ -2184,6 +2264,8 @@ ORACLE_SQL = {
     "knn_cosine_lsh": _sql_knn_lsh(),
     "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
     "minhash_neardup_pairs": _sql_minhash_pairs(),
+    "neardup_components": _sql_neardup_components(),
+    "dedup_keep_one": _sql_dedup_keep_one(),
     "jaccard_neardup_exact": _sql_jaccard_exact(),
     "simhash_docs": _sql_simhash(),
     "simhash_neardup_pairs": _sql_simhash_pairs(),

@@ -9,26 +9,32 @@ sets or embedding vectors — riding along).  The reference engine never hits
 this because it has no corpus-level LSH at all (SURVEY.md §2.9); this module
 is the scale-side answer.
 
-``capped_group_pairs`` is an EXACT decomposition, not a lossy cap: an
-oversized bucket of n rows is split (in ascending id order) into
-m = ceil(n / max_bucket) chunks, and every unordered chunk pair (i ≤ j)
-becomes its own downstream group task keyed by a collision-free string key
-``"<band key>|i|j"``.  Task (i,i) emits the intra-chunk pairs, task (i,j)
-the cross-chunk pairs — together exactly the triangle {(a,b): a < b} of the
-original bucket, each pair in exactly one task.  The output pair set is
-therefore IDENTICAL to the uncapped all-pairs semantics (the DuckDB oracles
-for minhash/simhash/embedding LSH stay green even when the cap triggers),
-while no group task ever holds more than 2·max_bucket rows or emits more
-than max_bucket² pairs.
+``capped_group_pairs`` is an EXACT decomposition, not a lossy cap:
 
-Cost model: a row in an oversized bucket is replicated to m tasks (its
-verify payload — 8 B/shingle-hash, 8 B simhash, or the embedding vector —
-ships m times).  The O(n²) pair OUTPUT is inherent to the operator's
-contract; what this bounds is per-task memory and the straggler, spreading
-the quadratic work across ~m²/2 parallel tasks.  Buckets at or under
-``max_bucket`` (the overwhelmingly common case) take the direct path: pairs
-are emitted inside the band group task itself and only the routed table's
-materialize barrier is added — no second shuffle.
+  1. the banded table materializes once and a tiny ids-only
+     ``groupby(band).count()`` finds the oversized keys — by definition of
+     skew there are few, so the driver holds only those;
+  2. **no oversized keys (the overwhelmingly common case): the pipeline is
+     byte-identical to the naive shape** — one groupby, pairs emitted
+     directly in the group task, no extra shuffle;
+  3. otherwise a vectorized routing map re-keys rows: an oversized bucket's
+     rows hash-chunk into m = ceil(n / max_bucket) chunks, and every
+     unordered chunk pair (i ≤ j) becomes its own group task (task key =
+     literal band key + chunk ids — collision-free).  Task (i,j) emits the
+     position-ordered pairs filtered to cross-chunk (or all pairs when
+     i == j), so the union over tasks is exactly the triangle of the bucket
+     with each pair in exactly one task.  Normal buckets ride the same
+     groupby under their literal band key with chunk = -1.
+
+The output pair set is therefore IDENTICAL to uncapped all-pairs semantics
+(the DuckDB oracles for minhash/simhash/embedding LSH stay green even when
+the cap triggers), while no group task holds more than ~2·max_bucket rows
+(hash chunks balance to n/m each w.h.p.) or emits more than ~max_bucket²
+pairs.  A row in an oversized bucket replicates to m tasks (its verify
+payload — 8 B/shingle-hash, 8 B simhash, or the embedding vector — ships m
+times); the O(n²) pair OUTPUT is inherent to the operator's contract — what
+this bounds is per-task memory and the straggler, spreading the quadratic
+work across ~m²/2 parallel tasks.
 """
 
 from __future__ import annotations
@@ -45,24 +51,30 @@ CHUNK = "_bc_chunk"
 DEFAULT_MAX_BUCKET = 512
 
 
-def triangle_tasks(n: int, max_bucket: int):
-    """Pure helper (unit-tested): for a bucket of ``n`` rows, yield
-    (row_index, chunk_i, chunk_j) memberships such that the union of
-    per-task pair sets is exactly {(a, b): 0 <= a < b < n} with each pair in
-    exactly one task.  Row r (chunk c = r // max_bucket) joins every task
-    (min(c, o), max(c, o)) for o in range(m)."""
-    m = math.ceil(n / max_bucket)
-    for r in range(n):
-        c = r // max_bucket
-        for o in range(m):
-            yield r, min(c, o), max(c, o)
+def mix64(ids: np.ndarray) -> np.ndarray:
+    """Fibonacci-style id mixing (vectorized) so sequential ids spread
+    uniformly; chunk of a row in an m-way split = mix64(id) % m."""
+    with np.errstate(over="ignore"):
+        x = ids.astype(np.uint64, copy=False) * np.uint64(0x9E3779B97F4A7C15)
+    return x ^ (x >> np.uint64(29))
 
 
-def _cross_indices(split: int, n: int):
-    """Index pairs (a from [0, split), b from [split, n)) — the cross pairs
-    of a two-chunk task."""
-    iu = np.repeat(np.arange(split), n - split)
-    ju = np.tile(np.arange(split, n), split)
+def chunk_of(ids: np.ndarray, m: int) -> np.ndarray:
+    """Hash-chunk assignment for an oversized bucket's rows (splittable
+    without knowing ranks): chunk = mix64(id) % m."""
+    return (mix64(ids) % np.uint64(m)).astype(np.int64)
+
+
+def task_pairs_indices(chunks: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Index pairs a task emits over its position-ordered rows: all (p < q)
+    when the task holds one chunk (intra / normal bucket), cross-chunk
+    (p < q, chunk[p] != chunk[q]) when it holds two — together the exact
+    triangle of the original bucket, each pair in exactly one task."""
+    n = len(chunks)
+    iu, ju = np.triu_indices(n, k=1)
+    if n and chunks.min() != chunks.max():
+        keep = chunks[iu] != chunks[ju]
+        return iu[keep], ju[keep]
     return iu, ju
 
 
@@ -89,73 +101,75 @@ def capped_group_pairs(
     several groups (multi-band LSH) still needs the caller's downstream
     pair-dedup, same as before.
     """
-    pair_names = [f.name for f in pair_schema]
+    import ray
 
-    def _route(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        sort_idx = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
-        g = group.take(sort_idx)
-        payload = g.select([id_col] + payload_cols)
-        payload_fields = list(payload.schema)
-        if n <= max_bucket:
-            iu, ju = np.triu_indices(n, k=1)
-            pairs = verify_fn(payload, iu, ju)
-            k = pairs.num_rows
-            cols = {name: pairs.column(name) for name in pair_names}
-            cols[TKEY] = pa.nulls(k, pa.string())
-            cols[CHUNK] = pa.nulls(k, pa.int32())
-            for f in payload_fields:
-                cols[f.name] = pa.nulls(k, f.type)
-            return pa.table(cols)
-        # oversized bucket: replicate rows to triangle tasks; the task key
-        # embeds the literal band key values, so it is collision-free by
-        # construction (no hash involved)
-        key_prefix = "|".join(str(g.column(c)[0].as_py()) for c in group_cols)
-        idx_out, tkey_out, chunk_out = [], [], []
-        for r, i, j in triangle_tasks(n, max_bucket):
-            idx_out.append(r)
-            tkey_out.append(f"{key_prefix}|{i}|{j}")
-            chunk_out.append(r // max_bucket)
-        memb = payload.take(pa.array(idx_out, type=pa.int64()))
-        cols = {
-            name: pa.nulls(len(idx_out), pair_schema.field(name).type)
-            for name in pair_names
-        }
-        cols[TKEY] = pa.array(tkey_out, type=pa.string())
-        cols[CHUNK] = pa.array(chunk_out, type=pa.int32())
-        for f in payload_fields:
-            cols[f.name] = memb.column(f.name)
-        return pa.table(cols)
+    payload = [id_col] + payload_cols
 
-    def _task_pairs(group: pa.Table) -> pa.Table:
-        sort_idx = pc.sort_indices(
-            group, sort_keys=[(CHUNK, "ascending"), (id_col, "ascending")]
+    def _sorted(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+        return group.take(idx)
+
+    def _direct(group: pa.Table) -> pa.Table:
+        g = _sorted(group).select(payload)
+        iu, ju = np.triu_indices(g.num_rows, k=1)
+        return verify_fn(g, iu, ju)
+
+    # the banded table is consumed twice (size scan + pair generation);
+    # materialize so the signature stage runs once.  Rows are ids + band
+    # keys (+ the small verify payload) — object-store friendly, spills.
+    sigs = ds.materialize()
+    counts = sigs.groupby(group_cols).count()
+    big = counts.map_batches(
+        lambda b: b.filter(pc.greater(b.column("count()"), max_bucket)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()  # skewed keys only — tiny by definition of skew
+
+    if not big:
+        # fast path: identical to the uncapped pipeline shape
+        return sigs.groupby(group_cols).map_groups(_direct, batch_format="pyarrow")
+
+    oversized = {
+        tuple(r[c] for c in group_cols): math.ceil(r["count()"] / max_bucket)
+        for r in big
+    }
+    over_ref = ray.put(oversized)
+
+    def _route(batch: pa.Table) -> pa.Table:
+        over = ray.get(over_ref)
+        key_cols = [batch.column(c).to_pylist() for c in group_cols]
+        ids = np.asarray(batch.column(id_col).to_numpy(zero_copy_only=False))
+        mixed = mix64(ids)
+        n = batch.num_rows
+        take_idx: list[int] = []
+        tkeys: list[str] = []
+        chunks: list[int] = []
+        for r in range(n):
+            key = tuple(col[r] for col in key_cols)
+            lit = "|".join(str(v) for v in key)
+            m = over.get(key)
+            if m is None:
+                take_idx.append(r)
+                tkeys.append(f"b|{lit}")
+                chunks.append(-1)
+                continue
+            # NB: python-int FIRST — numpy uint64 % python int promotes to
+            # float64 and quantizes large hashes (chunks collapse to 0)
+            c = int(mixed[r]) % m
+            for o in range(m):
+                i, j = (c, o) if c <= o else (o, c)
+                take_idx.append(r)
+                tkeys.append(f"s|{lit}|{i}|{j}")
+                chunks.append(c)
+        out = batch.select(payload).take(pa.array(take_idx, type=pa.int64()))
+        return out.append_column(TKEY, pa.array(tkeys, type=pa.string())).append_column(
+            CHUNK, pa.array(chunks, type=pa.int32())
         )
-        g = group.take(sort_idx)
-        chunks = g.column(CHUNK).to_numpy(zero_copy_only=False)
-        n = g.num_rows
-        if n and chunks[0] != chunks[-1]:
-            split = int(np.searchsorted(chunks, chunks[0], side="right"))
-            iu, ju = _cross_indices(split, n)
-        else:
-            iu, ju = np.triu_indices(n, k=1)
-        return verify_fn(g.select([id_col] + payload_cols), iu, ju)
 
-    routed = ds.groupby(group_cols).map_groups(
-        _route, batch_format="pyarrow"
-    ).materialize()
+    def _task(group: pa.Table) -> pa.Table:
+        g = _sorted(group)
+        chunks = np.asarray(g.column(CHUNK).to_numpy(zero_copy_only=False))
+        iu, ju = task_pairs_indices(chunks)
+        return verify_fn(g.select(payload), iu, ju)
 
-    def _only_pairs(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_null(b.column(TKEY))).select(pair_names)
-
-    def _only_memb(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_valid(b.column(TKEY))).select(
-            [TKEY, CHUNK, id_col] + payload_cols
-        )
-
-    direct = routed.map_batches(_only_pairs, batch_format="pyarrow", zero_copy_batch=True)
-    memb = routed.map_batches(_only_memb, batch_format="pyarrow", zero_copy_batch=True)
-    if memb.count() == 0:  # routed is materialized — this is a cheap filter job
-        return direct
-    deferred = memb.groupby(TKEY).map_groups(_task_pairs, batch_format="pyarrow")
-    return direct.union(deferred)
+    routed = sigs.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby(TKEY).map_groups(_task, batch_format="pyarrow")

@@ -167,7 +167,6 @@ def minhash_dedup_pairs(
     band_rows: int = 8,
     shingle_k: int = 3,
     seed: int = 1,
-    num_partitions: int | None = None,
     broadcast_pairs_threshold: int = 200_000,
     max_bucket: int | None = None,
 ):
@@ -176,25 +175,28 @@ def minhash_dedup_pairs(
 
       pairs   = band groupby (ids only shuffle)
       dedup   = groupby(id_a, id_b) first-row (a pair surfaces per band)
-      verify  = pairs ⋈ shingle_sets on id_a, then on id_b (hash join;
-                payload = packed uint64 shingle hashes, 8 B/shingle), then a
-                vectorized jaccard inside map_batches.
+      verify  = attach each side's packed shingle set (8 B/shingle — never
+                the text) to the pair rows, then a vectorized jaccard
+                inside map_batches.
 
     The CANDIDATE PAIRS materialize (ids only — tiny: near-dup candidates ≪
-    corpus) to break the deep DAG: with the minhash groupby, two join
-    aggregator pools and the actor stages all reserving resources in one
-    streaming DAG, small clusters deadlock.  The corpus-sized side (shingle
-    sets) never materializes in either regime.
+    corpus) so the pair count is known before choosing the verify regime.
+    The corpus-sized side (shingle sets) never materializes in either
+    regime.
 
     Verify is SIZE-ADAPTIVE on the (now known) pair count:
       * ≤ ``broadcast_pairs_threshold``: semi-join pushdown — the candidate
         ID set (ints only) filters the documents scan, shingle hashes are
         computed for candidate docs ONLY, and that provably-small lookup
         (O(pairs), never O(corpus)) broadcasts via ray.put into a single
-        verify map.  Joins at this size pay two aggregator-pool spin-ups
-        for nothing (measured 15 s for 255 pairs at sf0.1).
-      * above it: two distributed hash joins (pairs ⋈ shingles on id_a,
-        id_b) — nothing driver-held, the 100-TB regime.
+        verify map.  Shuffling the corpus at this size pays two all-to-all
+        spin-ups for nothing (measured 15 s for 255 pairs at sf0.1).
+      * above it: two distributed hash-join-shaped exchanges (pairs get
+        sh_a attached by grouping on id_a vs doc_id, then sh_b on id_b) —
+        nothing driver-held, the 100-TB regime.  Expressed as tagged-union
+        + groupby rather than ``Dataset.join`` (see the inline comment —
+        zero-schema empty blocks from upstream groupbys break
+        JoinOperator, and its aggregator pools deadlock small clusters).
 
     Jaccard over distinct md5-shingle-hash sets; results round with DuckDB
     semantics so the SQL oracle (pipelines/queries.py
@@ -204,28 +206,22 @@ def minhash_dedup_pairs(
 
     from ..functions.numeric import duck_round
 
-    if num_partitions is None:
-        # both joins' aggregator pools coexist in the streaming DAG; size
-        # them to the cluster so they schedule alongside the map/groupby
-        # stages (at 1.0 CPU each, 2×partitions aggregators deadlock small
-        # clusters — hence the fractional num_cpus below)
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        num_partitions = max(2, min(cpus // 2, 64))
-    agg_args = {"num_cpus": 0.25}
-
     pairs = minhash_candidate_pairs(
         ds, num_perm, band_rows, shingle_k, seed, max_bucket=max_bucket
-    )
-
-    def _dedup_group(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
-        _dedup_group, batch_format="pyarrow"
     ).materialize()
+
+    # pair dedup (a pair surfaces once per matching band) is SIZE-ADAPTIVE
+    # like the verify: at ≤ broadcast_pairs_threshold raw candidates the
+    # broadcast regime take_all()s the ids anyway, so dedup on the driver
+    # and skip a whole all-to-all; above it, a distributed groupby dedup.
+    n_raw = pairs.count()  # metadata-only on a materialized dataset
+    if n_raw > broadcast_pairs_threshold:
+        def _dedup_group(group: pa.Table) -> pa.Table:
+            return group.slice(0, 1)
+
+        pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
+            _dedup_group, batch_format="pyarrow"
+        ).materialize()
 
     def _verify_from(batch: pa.Table, sh_a_col, sh_b_col) -> pa.Table:
         a_out, b_out, j_out = [], [], []
@@ -269,12 +265,20 @@ def minhash_dedup_pairs(
     if n_pairs <= broadcast_pairs_threshold:
         # semi-join pushdown: filter the documents SCAN by candidate ids,
         # hash shingles for those docs only, broadcast the O(pairs) lookup
+        import ray.data as rd
         import pyarrow.compute as pc
 
         pair_rows = pairs.take_all()  # ids only, ≤ threshold rows
-        cand_ids = pa.array(
-            sorted({r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows})
+        uniq = sorted({(r["id_a"], r["id_b"]) for r in pair_rows})
+        pairs = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([a for a, _ in uniq], type=pa.int64()),
+                    "id_b": pa.array([b for _, b in uniq], type=pa.int64()),
+                }
+            )
         )
+        cand_ids = pa.array(sorted({a for a, _ in uniq} | {b for _, b in uniq}))
 
         def _only_candidates(b: pa.Table) -> pa.Table:
             return b.filter(pc.is_in(b.column("doc_id"), value_set=cand_ids))
@@ -304,6 +308,8 @@ def minhash_dedup_pairs(
             _verify_broadcast, batch_format="pyarrow", zero_copy_batch=True
         )
 
+    import pyarrow.compute as pc
+
     shingle_ds = ds.map_batches(
         ShingleHashStage,
         fn_constructor_kwargs=dict(shingle_k=shingle_k),
@@ -312,22 +318,68 @@ def minhash_dedup_pairs(
         zero_copy_batch=True,
     )
 
-    joined = pairs.join(
-        shingle_ds, "inner", num_partitions=num_partitions,
-        on=("id_a",), right_on=("doc_id",),
-        aggregator_ray_remote_args=agg_args,
-    ).rename_columns({"sh": "sh_a"}).join(
-        shingle_ds, "inner", num_partitions=num_partitions,
-        on=("id_b",), right_on=("doc_id",),
-        aggregator_ray_remote_args=agg_args,
-    ).rename_columns({"sh": "sh_b"})
+    # Distributed attach of each side's packed shingles — the SAME exchange
+    # a hash join would pay (pair rows + shingle rows shuffle once per
+    # side), but expressed as tagged-union + groupby(key) because
+    # ``Dataset.join`` is unusable here: ``pairs`` descends from groupbys,
+    # whose map tasks emit ZERO-SCHEMA empty blocks for empty inputs, and
+    # JoinOperator's per-partition pyarrow join dies (ArrowInvalid "No
+    # match for FieldRef") when a hash partition receives no schema-ful
+    # shard; its 1.0-CPU aggregator pools also deadlock small clusters.
+    # groupby tolerates dirty blocks (see connected_components docstring).
+    def _attach(pair_ds, key_name: str, out_name: str, carry: dict):
+        def _pair_msg(b: pa.Table) -> pa.Table:
+            cols = {"_k": b.column(key_name)}
+            for c in carry:
+                cols[c] = b.column(c)
+            cols["_sh"] = pa.nulls(b.num_rows, pa.binary())
+            cols["_is_data"] = pa.array(np.zeros(b.num_rows, dtype=bool))
+            return pa.table(cols)
+
+        def _data_msg(b: pa.Table) -> pa.Table:
+            cols = {"_k": b.column("doc_id")}
+            for c, typ in carry.items():
+                cols[c] = pa.nulls(b.num_rows, typ)
+            cols["_sh"] = b.column("sh")
+            cols["_is_data"] = pa.array(np.ones(b.num_rows, dtype=bool))
+            return pa.table(cols)
+
+        tagged = pair_ds.map_batches(
+            _pair_msg, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            shingle_ds.map_batches(
+                _data_msg, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+
+        def _grp(g: pa.Table) -> pa.Table:
+            mask = g.column("_is_data")
+            data_rows = g.filter(mask)
+            out = g.filter(pc.invert(mask))
+            if data_rows.num_rows == 0:
+                out = out.slice(0, 0)  # pair references a missing doc: drop
+            sh = data_rows.column("_sh")[0].as_py() if data_rows.num_rows else b""
+            cols = {c: out.column(c) for c in carry}
+            cols[out_name] = pa.array([sh] * out.num_rows, type=pa.binary())
+            return pa.table(cols)
+
+        return tagged.groupby("_k").map_groups(_grp, batch_format="pyarrow")
+
+    with_a = _attach(
+        pairs, "id_a", "sh_a",
+        {"id_a": pa.int64(), "id_b": pa.int64()},
+    )
+    with_ab = _attach(
+        with_a, "id_b", "sh_b",
+        {"id_a": pa.int64(), "id_b": pa.int64(), "sh_a": pa.binary()},
+    )
 
     def _verify(batch: pa.Table) -> pa.Table:
         return _verify_from(
             batch, batch.column("sh_a").to_pylist(), batch.column("sh_b").to_pylist()
         )
 
-    return joined.map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)
+    return with_ab.map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def jaccard_neardup_exact(ds, threshold: float = 0.5, shingle_k: int = 3):
@@ -504,3 +556,196 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(_sig, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- connected components
+def connected_components(pairs, max_iters: int = 20):
+    """Near-dup pairs → (doc_id, component_id) with component_id = min doc
+    id in the connected component — the keep-one step on top of any pair
+    family (minhash/simhash/embedding LSH).
+
+    Min-label propagation expressed as groupby-only message passing — NO
+    ``Dataset.join`` anywhere.  Two reasons: (a) cascaded joins deadlock
+    small clusters (aggregator actors reserve whole CPUs), and (b) Ray Data
+    aggregate outputs carry ZERO-SCHEMA empty blocks for empty hash
+    partitions (map tasks skip empty input blocks and emit schema-less
+    empty outputs), and ``JoinOperator.finalize`` builds each partition
+    with ``ArrowBlockBuilder`` — a partition that received no schema-ful
+    shard becomes a no-column table and the pyarrow hash join dies with
+    "No match for FieldRef".  groupby/aggregate tolerates those blocks;
+    join does not.  Rule of thumb encoded here: never feed a dataset that
+    descends from a groupby into a ``Dataset.join`` side.
+
+    Shape per round: union(edges, state) → one groupby(node).map_groups.
+    Each node's group holds its incident edges (peer ids ride along) plus
+    last round's label messages; the group task computes
+    m = min(node, min peer, min incoming label) and emits one self row
+    (node, m) plus one message (peer, m) per distinct peer — the peer-id
+    fold makes round 1 equal to the classic "min(self, neighbors)" init.
+    Labels only ever decrease, so convergence is detected by the global
+    self-label sum going flat — no compare join.  Rounds needed = graph
+    diameter; LSH dup clusters are near-cliques, so 2-3 in practice
+    (``max_iters`` bounds pathology; the alternating-star optimization is
+    the known upgrade path for long-chain graphs at 100 TB).
+
+    Cost: one all-to-all per round over ~2·|edges| id-sized rows —
+    candidate-pair scale, far below the corpus; nothing is broadcast or
+    driver-held.
+    """
+    import pyarrow.compute as pc
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").combine_chunks()
+        b = batch.column("id_b").combine_chunks()
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, b]),
+                "peer": pa.concat_arrays([b, a]),
+                "label": pa.nulls(2 * batch.num_rows, a.type),
+            }
+        )
+
+    edges = pairs.select_columns(["id_a", "id_b"]).map_batches(
+        _sym, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    if edges.count() == 0:
+        import ray.data as rd
+
+        try:
+            id_type = edges.schema().base_schema.field("node").type
+        except Exception:
+            id_type = pa.int64()
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=id_type),
+                    "component_id": pa.array([], type=id_type),
+                }
+            )
+        )
+
+    def _step(g: pa.Table) -> pa.Table:
+        node = g.column("node").combine_chunks()
+        key = node[0].as_py()
+        peers = pc.unique(pc.drop_null(g.column("peer").combine_chunks()))
+        labels = pc.drop_null(g.column("label").combine_chunks())
+        m = key
+        if len(peers):
+            m = min(m, pc.min(peers).as_py())
+        if len(labels):
+            m = min(m, pc.min(labels).as_py())
+        n_out = 1 + len(peers)
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [pa.array([key], type=node.type), peers]
+                ),
+                "label": pa.array([m] * n_out, type=node.type),
+                "is_self": pa.array([True] + [False] * len(peers)),
+            }
+        )
+
+    def _as_state(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "peer": pa.nulls(batch.num_rows, batch.column("node").type),
+                "label": batch.column("label"),
+            }
+        )
+
+    def _self_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("is_self"))
+
+    state = None
+    prev_sum = None
+    out = None
+    for _ in range(max_iters):
+        inp = edges if state is None else edges.union(state)
+        out = inp.groupby("node").map_groups(
+            _step, batch_format="pyarrow"
+        ).materialize()
+        cur_sum = out.map_batches(
+            _self_only, batch_format="pyarrow", zero_copy_batch=True
+        ).sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        state = out.map_batches(
+            _as_state, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(batch.column("is_self"))
+        return pa.table(
+            {
+                "doc_id": keep.column("node"),
+                "component_id": keep.column("label"),
+            }
+        )
+
+    return out.map_batches(_final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def keep_one_survivors(docs, pairs, id_col: str = "doc_id"):
+    """Corpus keep-one dedup on top of any near-dup pair family: drop every
+    doc that belongs to a connected component but is not its min-id
+    representative; everything untouched by a pair survives.
+
+    Scale shape: the loser set is derived from the component labeling
+    (candidate-pair scale, far below the corpus) and removed via a tagged
+    union + one groupby(id) anti-join — the corpus streams through a single
+    all-to-all (the same exchange a distributed hash join would pay),
+    nothing corpus-sized broadcasts or reaches the driver, and groups are
+    ≤2 rows (ids are unique per side) so there is no skew.  ``Dataset.join``
+    is deliberately NOT used: the loser side descends from a groupby and
+    may carry zero-schema empty blocks that break JoinOperator's per-
+    partition pyarrow join (see ``connected_components`` docstring).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    comp = connected_components(pairs)
+
+    def _losers(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch.column("doc_id"), batch.column("component_id"))
+        return pa.table({id_col: batch.filter(mask).column("doc_id")})
+
+    losers = comp.map_batches(
+        _losers, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if losers.count() == 0:
+        return docs
+
+    schema = docs.schema().base_schema
+    tag = "_dup_loser"
+
+    def _pad_losers(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            f.name: batch.column(id_col) if f.name == id_col else pa.nulls(n, f.type)
+            for f in schema
+        }
+        cols[tag] = pa.array(np.ones(n, dtype=bool))
+        return pa.table(cols)
+
+    def _tag_docs(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            tag, pa.array(np.zeros(batch.num_rows, dtype=bool))
+        )
+
+    tagged = docs.map_batches(
+        _tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        losers.map_batches(
+            _pad_losers, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def _keep(g: pa.Table) -> pa.Table:
+        if pc.any(g.column(tag)).as_py():
+            return g.slice(0, 0).drop_columns([tag])
+        return g.drop_columns([tag])
+
+    return tagged.groupby(id_col).map_groups(_keep, batch_format="pyarrow")

@@ -10,7 +10,6 @@ the cap, and (c) a ≥1000-identical-doc pathological corpus completes with
 bounded per-task group sizes and the exact expected pair count.
 """
 
-import itertools
 import math
 
 import numpy as np
@@ -18,39 +17,43 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from crawl4ai_ray.stages.bucketcap import triangle_tasks
+from crawl4ai_ray.stages.bucketcap import chunk_of, task_pairs_indices
 from crawl4ai_ray.stages.dedup import minhash_candidate_pairs, simhash_neardup_pairs
 from crawl4ai_ray.stages.similarity import lsh_bucket_pairs, lsh_neardup_pairs
 
 UNCAPPED = 10**9
 
 
-# ------------------------------------------------------------ pure helper
+# ------------------------------------------------------------ pure helpers
 @pytest.mark.parametrize("n,c", [(1, 5), (5, 5), (6, 5), (13, 4), (100, 7), (1000, 64)])
-def test_triangle_tasks_cover_every_pair_exactly_once(n, c):
-    per_task: dict[tuple, list[int]] = {}
-    memberships_per_row = np.zeros(n, dtype=int)
-    for r, i, j in triangle_tasks(n, c):
-        per_task.setdefault((i, j), []).append(r)
-        memberships_per_row[r] += 1
+def test_hash_chunk_tasks_cover_every_pair_exactly_once(n, c):
+    """The routing decomposition: rows hash-chunk into m groups; every
+    unordered chunk pair (i ≤ j) is one task emitting task_pairs_indices
+    over its id-sorted rows.  The union must be the exact triangle of the
+    bucket, each pair exactly once, with balanced task sizes."""
     m = math.ceil(n / c)
-    assert (memberships_per_row == m).all()
+    ids = np.arange(100, 100 + n, dtype=np.int64)  # arbitrary id space
+    chunks = chunk_of(ids, m)
+    assert ((chunks >= 0) & (chunks < m)).all()
     seen = set()
-    for (i, j), rows in per_task.items():
-        # bounded: a task holds at most two chunks of rows
-        assert len(rows) <= 2 * c
-        chunks = {r // c for r in rows}
-        assert chunks <= {i, j}
-        if i == j:
-            pairs = itertools.combinations(sorted(rows), 2)
-        else:
-            lo = sorted(r for r in rows if r // c == i)
-            hi = sorted(r for r in rows if r // c == j)
-            pairs = itertools.product(lo, hi)
-        for p in pairs:
-            assert p not in seen, f"pair {p} emitted by two tasks"
-            seen.add(p)
-    assert seen == {(a, b) for a in range(n) for b in range(a + 1, n)}
+    for i in range(m):
+        for j in range(i, m):
+            members = np.where((chunks == i) | (chunks == j))[0]
+            order = members[np.argsort(ids[members])]
+            iu, ju = task_pairs_indices(chunks[order])
+            for a, b in zip(order[iu], order[ju]):
+                p = (int(ids[a]), int(ids[b]))
+                assert p[0] < p[1]
+                assert p not in seen, f"pair {p} emitted by two tasks"
+                seen.add(p)
+    assert seen == {
+        (int(a), int(b)) for a in ids for b in ids if a < b
+    }
+    # hash chunks balance: no chunk more than ~3x the fair share (+slack
+    # for small n)
+    if m > 1:
+        sizes = np.bincount(chunks, minlength=m)
+        assert sizes.max() <= 3 * math.ceil(n / m) + 4
 
 
 # --------------------------------------------------- capped == uncapped
