@@ -559,7 +559,8 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 # ------------------------------------------------- connected components
-def connected_components(pairs, max_iters: int = 20):
+def connected_components(pairs, max_iters: int = 20,
+                         driver_threshold: int = 200_000):
     """Near-dup pairs → (doc_id, component_id) with component_id = min doc
     id in the connected component — the keep-one step on top of any pair
     family (minhash/simhash/embedding LSH).
@@ -591,6 +592,13 @@ def connected_components(pairs, max_iters: int = 20):
     Cost: one all-to-all per round over ~2·|edges| id-sized rows —
     candidate-pair scale, far below the corpus; nothing is broadcast or
     driver-held.
+
+    SIZE-ADAPTIVE like the minhash verify: at ≤ ``driver_threshold`` edges
+    (ids only — the same scale the broadcast verify regime already
+    take_all()s) a driver-side union-find answers in one pass instead of
+    paying diameter-many all-to-all rounds of fixed Ray overhead (measured
+    1.8 s for 255 pairs); above it, the distributed label propagation.
+    Both paths produce the identical (doc_id, component_id) labeling.
     """
     import pyarrow.compute as pc
 
@@ -609,7 +617,8 @@ def connected_components(pairs, max_iters: int = 20):
         _sym, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         import ray.data as rd
 
         try:
@@ -621,6 +630,46 @@ def connected_components(pairs, max_iters: int = 20):
                 {
                     "doc_id": pa.array([], type=id_type),
                     "component_id": pa.array([], type=id_type),
+                }
+            )
+        )
+
+    if n_edges <= 2 * driver_threshold:
+        import ray.data as rd
+
+        tbl = pa.Table.from_pylist(
+            edges.select_columns(["node", "peer"]).take_all()
+        )
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(
+            tbl.column("node").to_pylist(), tbl.column("peer").to_pylist()
+        ):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                # union by min id so the root IS the component label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
+        nodes = sorted(parent)
+        id_type = tbl.schema.field("node").type
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(nodes, type=id_type),
+                    "component_id": pa.array(
+                        [_find(n) for n in nodes], type=id_type
+                    ),
                 }
             )
         )
@@ -688,21 +737,27 @@ def connected_components(pairs, max_iters: int = 20):
     return out.map_batches(_final, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def keep_one_survivors(docs, pairs, id_col: str = "doc_id"):
+def keep_one_survivors(docs, pairs, id_col: str = "doc_id",
+                       broadcast_threshold: int = 5_000_000):
     """Corpus keep-one dedup on top of any near-dup pair family: drop every
     doc that belongs to a connected component but is not its min-id
     representative; everything untouched by a pair survives.
 
-    Scale shape: the loser set is derived from the component labeling
-    (candidate-pair scale, far below the corpus) and removed via a tagged
-    union + one groupby(id) anti-join — the corpus streams through a single
-    all-to-all (the same exchange a distributed hash join would pay),
-    nothing corpus-sized broadcasts or reaches the driver, and groups are
-    ≤2 rows (ids are unique per side) so there is no skew.  ``Dataset.join``
-    is deliberately NOT used: the loser side descends from a groupby and
-    may carry zero-schema empty blocks that break JoinOperator's per-
-    partition pyarrow join (see ``connected_components`` docstring).
+    SIZE-ADAPTIVE on the loser count:
+      * ≤ ``broadcast_threshold`` losers: the id set (ints only — 8 B each,
+        so the default cap is ~40 MB) broadcasts once via ray.put and the
+        corpus streams through a vectorized ``is_in`` filter — NO all-to-all
+        at all.
+      * above it: tagged union + one groupby(id) anti-join — the corpus
+        streams through a single all-to-all (the same exchange a
+        distributed hash join would pay), nothing corpus-sized broadcasts
+        or reaches the driver, and groups are ≤2 rows (ids are unique per
+        side) so there is no skew.  ``Dataset.join`` is deliberately NOT
+        used: the loser side descends from a groupby and may carry
+        zero-schema empty blocks that break JoinOperator's per-partition
+        pyarrow join (see ``connected_components`` docstring).
     """
+    import ray
     import numpy as np
     import pyarrow.compute as pc
 
@@ -715,8 +770,25 @@ def keep_one_survivors(docs, pairs, id_col: str = "doc_id"):
     losers = comp.map_batches(
         _losers, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    if losers.count() == 0:
+    n_losers = losers.count()
+    if n_losers == 0:
         return docs
+
+    if n_losers <= broadcast_threshold:
+        loser_ids = pa.array(
+            sorted(r[id_col] for r in losers.take_all())
+        )
+        loser_ref = ray.put(loser_ids)
+
+        def _drop_losers(batch: pa.Table) -> pa.Table:
+            ids = ray.get(loser_ref)
+            return batch.filter(
+                pc.invert(pc.is_in(batch.column(id_col), value_set=ids))
+            )
+
+        return docs.map_batches(
+            _drop_losers, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     schema = docs.schema().base_schema
     tag = "_dup_loser"

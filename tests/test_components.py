@@ -32,10 +32,15 @@ def _components(result) -> dict[int, int]:
     return {r["doc_id"]: r["component_id"] for r in rows}
 
 
-def test_two_components_and_chain(ray_session):
+@pytest.mark.parametrize("regime", [{}, {"driver_threshold": 0}])
+def test_two_components_and_chain(ray_session, regime):
     # chain 1-2-3-4 needs label propagation across rounds; (10,11) is a
     # separate component; node 20 never appears in a pair -> absent.
-    comp = _components(connected_components(_pairs([(1, 2), (2, 3), (3, 4), (10, 11)])))
+    # Both size-adaptive regimes must agree: driver union-find (default at
+    # this size) and distributed label propagation (forced via threshold=0).
+    comp = _components(
+        connected_components(_pairs([(1, 2), (2, 3), (3, 4), (10, 11)]), **regime)
+    )
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
@@ -45,35 +50,45 @@ def test_long_chain_converges(ray_session):
     # diameter (documented pathology bound in the docstring)
     n = 24
     comp = _components(
-        connected_components(_pairs([(i, i + 1) for i in range(n)]), max_iters=n + 2)
+        connected_components(
+            _pairs([(i, i + 1) for i in range(n)]),
+            max_iters=n + 2, driver_threshold=0,
+        )
     )
     assert comp == {i: 0 for i in range(n + 1)}
 
 
-def test_duplicate_and_unordered_edges(ray_session):
+@pytest.mark.parametrize("regime", [{}, {"driver_threshold": 0}])
+def test_duplicate_and_unordered_edges(ray_session, regime):
     comp = _components(
-        connected_components(_pairs([(5, 3), (3, 5), (5, 3), (3, 9), (9, 3)]))
+        connected_components(_pairs([(5, 3), (3, 5), (5, 3), (3, 9), (9, 3)]), **regime)
     )
     assert comp == {3: 3, 5: 3, 9: 3}
 
 
 def test_max_iters_bounds_work(ray_session):
     # with max_iters=1 a long chain must still return SOME labeling with
-    # every node present (bounded pathology, not a hang)
-    res = connected_components(_pairs([(i, i + 1) for i in range(10)]), max_iters=1)
+    # every node present (bounded pathology, not a hang) — distributed
+    # regime only (the driver union-find has no iteration bound)
+    res = connected_components(
+        _pairs([(i, i + 1) for i in range(10)]), max_iters=1, driver_threshold=0
+    )
     comp = _components(res)
     assert set(comp) == set(range(11))
 
 
-def test_keep_one_survivors_end_to_end(ray_session):
+@pytest.mark.parametrize("regime", [{}, {"broadcast_threshold": 0}])
+def test_keep_one_survivors_end_to_end(ray_session, regime):
     # planted corpus: docs 0..9; {0,1,2} dups, {5,6} dups -> survivors keep
-    # the min id of each component plus all untouched docs
+    # the min id of each component plus all untouched docs.  Both removal
+    # regimes must agree: broadcast is_in filter (default at this size) and
+    # the tagged-union groupby anti-join (forced via threshold=0).
     docs = rd.from_arrow(
         pa.table({"doc_id": pa.array(list(range(10)), type=pa.int64())})
     )
     pairs = _pairs([(0, 1), (1, 2), (5, 6)])
     kept = sorted(
-        r["doc_id"] for r in keep_one_survivors(docs, pairs).take_all()
+        r["doc_id"] for r in keep_one_survivors(docs, pairs, **regime).take_all()
     )
     assert kept == [0, 3, 4, 5, 7, 8, 9]
 
