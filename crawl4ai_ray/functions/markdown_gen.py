@@ -17,10 +17,11 @@ definition lists (``\\n\\n``-led dt, 4-space-indented dd, dt→dd stressed
 carry), br, hr, entity unescaping, and the single-line-break block layout
 (lists trailed by a blank pair).
 
-Out of slice (documented, not silently wrong): emphasis nested inside
-emphasis, tables inside list items, pre/list tails inside blockquotes mid-
-document.  The structure here is a DOM walk over stages/extract.py's tree —
-not a port of the reference's streaming parser.
+Nested emphasis (b/i in any nesting, incl. the stressed-space rules across
+close markers) is covered as of round 3.  Out of slice (documented, not
+silently wrong): tables inside list items, pre/list tails inside
+blockquotes mid-document.  The structure here is a DOM walk over
+stages/extract.py's tree — not a port of the reference's streaming parser.
 """
 
 from __future__ import annotations
@@ -62,7 +63,6 @@ class _Inline:
     def text(self, data: str, in_code: bool = False, suppress_stress_space: bool = False):
         if data == "":
             return
-        raw = data
         if self.stressed:
             data = data.strip()
             self.stressed = False
@@ -75,7 +75,11 @@ class _Inline:
             ):
                 data = " " + data
             self.preceding_stressed = False
-        self.preceding_data = raw
+        # the PROCESSED data, not the raw input — the reference assigns
+        # after the stressed strip / stress-space prefix (html2text
+        # __init__.py:924), and open_em's space-before-marker rule keys off
+        # it; raw here loses the space before a nested emphasis marker
+        self.preceding_data = data
         collapsed = data if in_code else _WS_RE.sub(" ", data)
         if not self.parts and collapsed.startswith(" "):
             collapsed = collapsed.lstrip(" ")
@@ -381,14 +385,10 @@ class MarkdownConverter:
             inline.open_strong()
             self._inline_node_children(c, inline)
             inline.marker("**")
-            if not inline.stressed:
-                inline.preceding_stressed = True
         elif tag in ("i", "em"):
             inline.open_em()
             self._inline_node_children(c, inline)
             inline.marker("_")
-            if not inline.stressed:
-                inline.preceding_stressed = True
         elif tag == "code":
             inline.stressed = False
             if inline.preceding_stressed:

@@ -71,6 +71,26 @@ GOLDENS = [
 # exec-parity only (no hardcoded golden): quirky shapes worth pinning to the
 # reference but not worth hand-maintaining expected strings for
 PARITY_EXTRA = [
+    # nested emphasis — preceding_data must track the PROCESSED text and
+    # close markers must not touch preceding_stressed (it persists to the
+    # next data node, reference html2text/__init__.py:884-896,924)
+    "<p><b>bold <i>both</i></b></p>",
+    "<p><i>it <b>bb</b> tail</i></p>",
+    "<p>pre <b>bold <i>mid</i> tail</b> post</p>",
+    "<p><em>a<strong>b</strong>c</em></p>",
+    "<p><strong>only<b>double</b></strong></p>",
+    "<p>a <b> spaced <i> inner </i> out </b> z</p>",
+    "<p><b><i></i></b>deep-empty</p>",
+    "<p><i>i <b>b</b> </i>tail</p>",
+    "<p><b>deep <i>in <b>most</b></i></b></p>",
+    "<p><b>x</b>y</p>",
+    "<p><b>x </b>y</p>",
+    "<p><i>a<b>b</b></i>c</p>",
+    "<p><b>x</b>.y</p>",
+    "<p><b>x</b><i>y</i>z</p>",
+    "<p><b>link <a href='http://e.com/'>text</a></b> after</p>",
+    "<p><i>code <code>x</code></i> t</p>",
+    "<p><b>img <img src='http://e/i.png' alt='a'></b> t</p>",
     "<table><thead><tr><th>Name</th><th>Qty</th></tr></thead><tbody>"
     "<tr><td>apple</td><td>3</td></tr><tr><td>pear with space</td><td>12</td></tr>"
     "</tbody></table>",
