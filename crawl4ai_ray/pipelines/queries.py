@@ -675,6 +675,25 @@ def dedup_keep_one(sf_dir: str):
     return keep_one_survivors(docs, pairs)
 
 
+def docs_hash_sample(sf_dir: str):
+    """Deterministic ~10% corpus subsample: per-id md5 bucket < cut — a
+    stateless per-row map (no RNG, no shuffle), membership stable across
+    runs and cluster sizes; the oracle recomputes the same buckets."""
+    from ..stages.sampling import hash_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return hash_sample(ds, rate=0.1)
+
+
+def docs_split_stratified(sf_dir: str):
+    """Train/val/test split assignment (90/5/5) by per-id md5 bucket —
+    re-runnable over a growing corpus without reassigning existing rows."""
+    from ..stages.sampling import stratified_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return stratified_split(ds)
+
+
 # -------------------------------------------------------------- embeddings
 
 def _query_vec(sf_dir: str):
@@ -1697,6 +1716,33 @@ SELECT id_a, id_b, jac AS jaccard FROM verified
 """
 
 
+def _sql_hash_bucket(salt: str) -> str:
+    """SQL twin of stages/sampling.py::_bucket_array: md5_64 of
+    ``salt|doc_id`` mod 10000."""
+    return (
+        _sql_hex64(f"'{salt}|' || CAST(doc_id AS VARCHAR)") + " % 10000"
+    )
+
+
+def _sql_hash_sample(rate: float = 0.1, salt: str = "sample:v1") -> str:
+    cut = int(round(rate * 10_000))
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ({_sql_hash_bucket(salt)}) < {cut}
+"""
+
+
+def _sql_split_stratified(salt: str = "split:v1") -> str:
+    # bounds mirror stratified_split's cumulative rounding: 9000 / 9500 / end
+    return f"""
+SELECT doc_id,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, ({_sql_hash_bucket(salt)}) AS b FROM documents)
+"""
+
+
 def _sql_components_cte() -> str:
     """CTE chain (appended after a chain providing ``verified(id_a, id_b)``)
     ending in ``comp(doc_id, component_id)`` — component_id = min doc id
@@ -1991,6 +2037,8 @@ QUERIES = {
     "minhash_neardup_pairs": minhash_neardup_pairs,
     "neardup_components": neardup_components,
     "dedup_keep_one": dedup_keep_one,
+    "docs_hash_sample": docs_hash_sample,
+    "docs_split_stratified": docs_split_stratified,
     "jaccard_neardup_exact": jaccard_neardup_exact_pairs,
     "knn_cosine_top10": knn_cosine_top10,
     "knn_cosine_lsh": knn_cosine_lsh,
@@ -2266,6 +2314,8 @@ ORACLE_SQL = {
     "minhash_neardup_pairs": _sql_minhash_pairs(),
     "neardup_components": _sql_neardup_components(),
     "dedup_keep_one": _sql_dedup_keep_one(),
+    "docs_hash_sample": _sql_hash_sample(),
+    "docs_split_stratified": _sql_split_stratified(),
     "jaccard_neardup_exact": _sql_jaccard_exact(),
     "simhash_docs": _sql_simhash(),
     "simhash_neardup_pairs": _sql_simhash_pairs(),
