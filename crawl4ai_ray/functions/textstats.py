@@ -57,6 +57,54 @@ def quality_stats(text: str) -> dict:
     }
 
 
+def repetition_stats(text: str) -> dict:
+    """Gopher/RefinedWeb-style token-repetition features (Rae et al. 2021
+    §A1.1 "repetition removal"; public heuristic family — the reference has
+    no corpus-quality machinery, this is a training-data-pipeline extension):
+
+    - ``distinct_ratio``  — type/token ratio (distinct tokens / tokens)
+    - ``top_token_frac``  — fraction of tokens that are the single most
+      frequent token
+    - ``top_bigram_frac`` — fraction of token bigrams that are the most
+      frequent bigram
+    - ``repetitive``      — flag: top_bigram_frac > 0.18 or
+      distinct_ratio < 0.2 (Gopher-style cutoffs)
+
+    Tokenization is lower(text) split on whitespace, identical to the SQL
+    oracle's regexp_split_to_array(lower(text), '\\s+')."""
+    from collections import Counter
+
+    from .numeric import duck_round
+
+    toks = tokens(text.lower())
+    n = len(toks)
+    if n == 0:
+        return {
+            "n_tokens": 0,
+            "distinct_ratio": 0.0,
+            "top_token_frac": 0.0,
+            "top_bigram_frac": 0.0,
+            "repetitive": False,
+        }
+    counts = Counter(toks)
+    distinct_ratio = float(duck_round(len(counts) / n, 4))
+    top_token_frac = float(duck_round(max(counts.values()) / n, 4))
+    if n >= 2:
+        gram_counts = Counter(
+            " ".join((toks[i], toks[i + 1])) for i in range(n - 1)
+        )
+        top_bigram_frac = float(duck_round(max(gram_counts.values()) / (n - 1), 4))
+    else:
+        top_bigram_frac = 0.0
+    return {
+        "n_tokens": n,
+        "distinct_ratio": distinct_ratio,
+        "top_token_frac": top_token_frac,
+        "top_bigram_frac": top_bigram_frac,
+        "repetitive": top_bigram_frac > 0.18 or distinct_ratio < 0.2,
+    }
+
+
 # ---------------------------------------------------------------- language ID
 # tiny stopword profiles (top function words per language); the heuristic
 # scores each language by stopword hits per token and returns the argmax.

@@ -675,6 +675,68 @@ def dedup_keep_one(sf_dir: str):
     return keep_one_survivors(docs, pairs)
 
 
+def repetition_scores(sf_dir: str):
+    """Gopher/RefinedWeb-style token-repetition quality features
+    (textstats.repetition_stats) — type/token ratio, top-token and
+    top-bigram fractions, plus the `repetitive` cutoff flag.  Stateless
+    per-batch map; SQL oracle recomputes via list kernels."""
+    from ..functions.textstats import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _r(b: pa.Table) -> pa.Table:
+        stats = [repetition_stats(t or "") for t in b.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array([s["n_tokens"] for s in stats], type=pa.int64()),
+                "distinct_ratio": pa.array(
+                    [s["distinct_ratio"] for s in stats], type=pa.float64()
+                ),
+                "top_token_frac": pa.array(
+                    [s["top_token_frac"] for s in stats], type=pa.float64()
+                ),
+                "top_bigram_frac": pa.array(
+                    [s["top_bigram_frac"] for s in stats], type=pa.float64()
+                ),
+                "repetitive": pa.array(
+                    [s["repetitive"] for s in stats], type=pa.bool_()
+                ),
+            }
+        )
+
+    return ds.map_batches(_r, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DECON_SALT = "decon:v1"
+DECON_RATE = 0.05  # benchmark split fraction (hash buckets < rate*10000)
+DECON_K = 8  # n-gram length (token shingles)
+
+
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (stages/decontaminate.py): a deterministic
+    5% hash split of `documents` plays the eval benchmark; every remaining
+    doc is flagged when it shares any 8-token n-gram with that set.
+    Benchmark gram hashes broadcast once (ray.put); corpus side is a
+    stateless vectorized map — nothing corpus-sized leaves the workers."""
+    from ..stages.decontaminate import benchmark_gram_hashes, flag_contaminated
+    from ..stages.sampling import BUCKETS, _bucket_array
+
+    cut = int(round(DECON_RATE * BUCKETS))
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _bench(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(_bucket_array(b.column("doc_id").to_pylist(), DECON_SALT) < cut))
+
+    def _corpus(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(_bucket_array(b.column("doc_id").to_pylist(), DECON_SALT) >= cut))
+
+    bench = ds.map_batches(_bench, batch_format="pyarrow", zero_copy_batch=True)
+    corpus = ds.map_batches(_corpus, batch_format="pyarrow", zero_copy_batch=True)
+    grams = benchmark_gram_hashes(bench, k=DECON_K)
+    return flag_contaminated(corpus, grams, k=DECON_K)
+
+
 def docs_hash_sample(sf_dir: str):
     """Deterministic ~10% corpus subsample: per-id md5 bucket < cut — a
     stateless per-row map (no RNG, no shuffle), membership stable across
@@ -1743,6 +1805,75 @@ FROM (SELECT doc_id, ({_sql_hash_bucket(salt)}) AS b FROM documents)
 """
 
 
+_SQL_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+
+
+def _sql_repetition() -> str:
+    """SQL twin of textstats.repetition_stats: whitespace tokens of
+    lower(text), per-list distinct/mode counts via list kernels (O(n·distinct)
+    per row — oracle-scale only)."""
+    return f"""
+WITH t AS (
+    SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), g AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END AS grams
+    FROM t
+), f AS (
+    SELECT doc_id, n,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE round(len(list_distinct(toks)) * 1.0 / n, 4) END AS distinct_ratio,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE round(list_max(list_transform(list_distinct(toks),
+                         d -> len(list_filter(toks, x -> x = d)))) * 1.0 / n, 4)
+           END AS top_token_frac,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE round(list_max(list_transform(list_distinct(grams),
+                         d -> len(list_filter(grams, x -> x = d)))) * 1.0 / len(grams), 4)
+           END AS top_bigram_frac
+    FROM g
+)
+SELECT doc_id, n AS n_tokens, distinct_ratio, top_token_frac, top_bigram_frac,
+       (top_bigram_frac > 0.18 OR distinct_ratio < 0.2) AS repetitive
+FROM f
+"""
+
+
+def _sql_decontaminate(rate: float = 0.05, k: int = 8,
+                       salt: str = "decon:v1") -> str:
+    """SQL twin of decontaminate_docs: the same md5-bucket benchmark split,
+    k-token grams per textstats.shingles (whole-doc gram when < k tokens),
+    contamination = any shared gram (string equality — the Ray side compares
+    md5_64 of the same strings)."""
+    cut = int(round(rate * 10_000))
+    return f"""
+WITH t AS (
+    SELECT doc_id, {_SQL_TOKS} AS toks, ({_sql_hash_bucket(salt)}) AS b
+    FROM documents
+), g AS (
+    SELECT doc_id, b,
+           CASE WHEN len(toks) >= {k}
+                THEN list_transform(generate_series(1, len(toks) - {k - 1}),
+                                    i -> array_to_string(toks[i : i + {k - 1}], ' '))
+                WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                ELSE CAST([] AS VARCHAR[]) END AS grams
+    FROM t
+), bg AS (
+    SELECT DISTINCT unnest(grams) AS gram FROM g WHERE b < {cut}
+), hits AS (
+    SELECT DISTINCT c.doc_id
+    FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE b >= {cut}) c
+    JOIN bg USING (gram)
+)
+SELECT g.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+WHERE g.b >= {cut}
+"""
+
+
 def _sql_components_cte() -> str:
     """CTE chain (appended after a chain providing ``verified(id_a, id_b)``)
     ending in ``comp(doc_id, component_id)`` — component_id = min doc id
@@ -2039,6 +2170,8 @@ QUERIES = {
     "dedup_keep_one": dedup_keep_one,
     "docs_hash_sample": docs_hash_sample,
     "docs_split_stratified": docs_split_stratified,
+    "repetition_scores": repetition_scores,
+    "decontaminate_docs": decontaminate_docs,
     "jaccard_neardup_exact": jaccard_neardup_exact_pairs,
     "knn_cosine_top10": knn_cosine_top10,
     "knn_cosine_lsh": knn_cosine_lsh,
@@ -2316,6 +2449,8 @@ ORACLE_SQL = {
     "dedup_keep_one": _sql_dedup_keep_one(),
     "docs_hash_sample": _sql_hash_sample(),
     "docs_split_stratified": _sql_split_stratified(),
+    "repetition_scores": _sql_repetition(),
+    "decontaminate_docs": _sql_decontaminate(),
     "jaccard_neardup_exact": _sql_jaccard_exact(),
     "simhash_docs": _sql_simhash(),
     "simhash_neardup_pairs": _sql_simhash_pairs(),

@@ -1,0 +1,129 @@
+"""Repetition quality features (textstats.repetition_stats) and benchmark
+decontamination (stages/decontaminate.py).
+
+Decontamination contract: a corpus doc is flagged iff it shares at least one
+k-token n-gram with the benchmark set; the benchmark side broadcasts as
+md5_64 gram hashes, the corpus side is one vectorized searchsorted per
+batch.  Tests plant known overlaps (including the whole-doc gram for
+sub-k-token docs) and exercise the empty-benchmark edge."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from crawl4ai_ray.functions.textstats import repetition_stats, shingle_hashes
+from crawl4ai_ray.stages.decontaminate import (
+    benchmark_gram_hashes,
+    flag_contaminated,
+)
+
+
+def _docs(texts, ids=None):
+    ids = list(ids) if ids is not None else list(range(len(texts)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(list(texts), type=pa.string()),
+            }
+        )
+    )
+
+
+# ------------------------------------------------------------- repetition
+def test_repetition_stats_basic():
+    s = repetition_stats("a b a b a b")
+    assert s["n_tokens"] == 6
+    assert s["distinct_ratio"] == round(2 / 6, 4)
+    assert s["top_token_frac"] == 0.5
+    # bigrams: "a b" x3, "b a" x2 → 3/5
+    assert s["top_bigram_frac"] == 0.6
+    assert s["repetitive"] is True
+
+
+def test_repetition_stats_edges():
+    assert repetition_stats("") == {
+        "n_tokens": 0,
+        "distinct_ratio": 0.0,
+        "top_token_frac": 0.0,
+        "top_bigram_frac": 0.0,
+        "repetitive": False,
+    }
+    one = repetition_stats("Word")
+    assert one["n_tokens"] == 1
+    assert one["distinct_ratio"] == 1.0
+    assert one["top_bigram_frac"] == 0.0  # no bigrams
+    assert one["repetitive"] is False
+    # lowercasing: "A a" is one distinct token
+    assert repetition_stats("A a")["distinct_ratio"] == 0.5
+
+
+def test_repetition_stats_all_distinct_not_repetitive():
+    s = repetition_stats("one two three four five six seven eight nine ten")
+    assert s["distinct_ratio"] == 1.0
+    assert s["top_token_frac"] == 0.1
+    assert s["repetitive"] is False
+
+
+# -------------------------------------------------------- decontamination
+BENCH = [
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    "short benchmark doc",  # < k tokens → whole-doc gram
+]
+
+
+def test_benchmark_gram_hashes_match_shingles(ray_session):
+    got = benchmark_gram_hashes(_docs(BENCH), k=8)
+    import numpy as np
+
+    want = np.unique(
+        np.concatenate([shingle_hashes(t, k=8) for t in BENCH])
+    )
+    assert got.tolist() == want.tolist()
+
+
+def test_flag_contaminated_planted_overlap(ray_session):
+    grams = benchmark_gram_hashes(_docs(BENCH), k=8)
+    corpus = _docs(
+        [
+            # contains bench 8-gram "beta gamma ... kappa" shifted window
+            "x alpha beta gamma delta epsilon zeta eta theta iota kappa y",
+            "totally unrelated words with no overlap at all here",
+            # exact copy of the short bench doc → whole-doc gram hits only
+            # if the corpus doc is ALSO < k tokens (same whole-doc gram)
+            "short benchmark doc",
+            "short benchmark doc padded with extra tokens no window match",
+        ],
+        ids=[10, 11, 12, 13],
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in flag_contaminated(corpus, grams, k=8).take_all()
+    }
+    assert out[10] is True
+    assert out[11] is False
+    assert out[12] is True  # whole-doc gram equality (both < k tokens)
+    # 8-token windows of doc 13 never equal the 3-token whole-doc gram
+    assert out[13] is False
+
+
+def test_flag_contaminated_empty_benchmark(ray_session):
+    import numpy as np
+
+    out = flag_contaminated(
+        _docs(["anything at all"]), np.empty(0, dtype=np.uint64), k=8
+    ).take_all()
+    assert [r["contaminated"] for r in out] == [False]
+
+
+def test_flag_contaminated_empty_text_rows(ray_session):
+    grams = benchmark_gram_hashes(_docs(BENCH), k=8)
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in flag_contaminated(
+            _docs(["", "alpha beta gamma delta epsilon zeta eta theta"], ids=[1, 2]),
+            grams,
+            k=8,
+        ).take_all()
+    }
+    assert out[1] is False
+    assert out[2] is True
