@@ -737,6 +737,40 @@ def decontaminate_docs(sf_dir: str):
     return flag_contaminated(corpus, grams, k=DECON_K)
 
 
+def vocab_topk(sf_dir: str, k: int = 20):
+    """Corpus top-k vocabulary by occurrence count — the canonical
+    pre-aggregate-before-shuffle shape: each batch folds its tokens into a
+    local Counter and emits (token, partial count) rows, so the groupby
+    shuffles O(batches × vocab) partials instead of O(total tokens) rows;
+    the final sort+limit runs over vocab-sized data.  Ties broken by token
+    asc so the top-k cut is a total order (oracle-stable)."""
+    from collections import Counter
+
+    from ..functions.textstats import tokens as _tokens
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            c.update(_tokens((t or "").lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+    )
+    return agg.sort(
+        ["n_occurrences", "token"], descending=[True, False]
+    ).limit(k)
+
+
 def docs_hash_sample(sf_dir: str):
     """Deterministic ~10% corpus subsample: per-id md5 bucket < cut — a
     stateless per-row map (no RNG, no shuffle), membership stable across
@@ -2172,6 +2206,7 @@ QUERIES = {
     "docs_split_stratified": docs_split_stratified,
     "repetition_scores": repetition_scores,
     "decontaminate_docs": decontaminate_docs,
+    "vocab_topk": vocab_topk,
     "jaccard_neardup_exact": jaccard_neardup_exact_pairs,
     "knn_cosine_top10": knn_cosine_top10,
     "knn_cosine_lsh": knn_cosine_lsh,
@@ -2451,6 +2486,13 @@ ORACLE_SQL = {
     "docs_split_stratified": _sql_split_stratified(),
     "repetition_scores": _sql_repetition(),
     "decontaminate_docs": _sql_decontaminate(),
+    "vocab_topk": f"""
+        SELECT token, count(*) AS n_occurrences
+        FROM (SELECT unnest({_SQL_TOKS}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token
+        LIMIT 20
+    """,
     "jaccard_neardup_exact": _sql_jaccard_exact(),
     "simhash_docs": _sql_simhash(),
     "simhash_neardup_pairs": _sql_simhash_pairs(),

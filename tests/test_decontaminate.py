@@ -127,3 +127,25 @@ def test_flag_contaminated_empty_text_rows(ray_session):
     }
     assert out[1] is False
     assert out[2] is True
+
+
+# ------------------------------------------------------------- vocab top-k
+def test_vocab_topk_planted_counts_and_tiebreak(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.pipelines.queries import vocab_topk
+
+    # zz x3, aa x2, bb x2 (tie with aa → token-asc break), cc x1
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["zz aa bb ZZ", "zz bb aa cc"], type=pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    rows = vocab_topk(str(tmp_path), k=3).take_all()
+    assert [(r["token"], r["n_occurrences"]) for r in rows] == [
+        ("zz", 3),
+        ("aa", 2),
+        ("bb", 2),
+    ]
