@@ -132,6 +132,10 @@ QUERY_NAMES = [
     # (pairs -> connected components -> survivor stream)
     "knn_cosine_ivf",
     "dedup_keep_one",
+    # round-3 additions: benchmark decontamination (broadcast n-gram set),
+    # pre-aggregated corpus vocabulary
+    "decontaminate_docs",
+    "vocab_topk",
 ]
 
 

@@ -737,6 +737,73 @@ def decontaminate_docs(sf_dir: str):
     return flag_contaminated(corpus, grams, k=DECON_K)
 
 
+def events_value_percentiles(sf_dir: str):
+    """Exact interpolated percentiles (p50/p95/p99 of `value` per
+    event_type) via distributed histogram aggregation — the scale-correct
+    exact-quantile shape for bounded-cardinality value domains:
+
+    1. each batch folds to (event_type, value, n) partial counts, so the
+       shuffle carries O(batches × distinct values) rows, never the raw
+       events;
+    2. groupby(event_type).map_groups merges partials into the per-type
+       value histogram (group size = distinct values, bounded by the value
+       domain — 2-decimal doubles here — NOT by corpus size) and computes
+       quantile_cont semantics (rank = p·(n−1), linear interpolation)
+       from cumulative counts.
+
+    For truly continuous domains this degrades to a sketch problem
+    (t-digest); the exact-oracle contract pins the histogram variant."""
+    from collections import Counter
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def _hist(b: pa.Table) -> pa.Table:
+        c: Counter = Counter(
+            zip(b.column("event_type").to_pylist(), b.column("value").to_pylist())
+        )
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in keys], type=pa.string()),
+                "value": pa.array([k[1] for k in keys], type=pa.float64()),
+                "n": pa.array([c[k] for k in keys], type=pa.int64()),
+            }
+        )
+
+    part = ds.map_batches(_hist, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _pct(group: pa.Table) -> pa.Table:
+        vals = group.column("value").to_numpy()
+        ns = group.column("n").to_numpy()
+        order = np.argsort(vals, kind="stable")
+        vals = vals[order]
+        # merge duplicate values across partials
+        uniq, start = np.unique(vals, return_index=True)
+        cnt = np.add.reduceat(ns[order], start)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+
+        def q(p: float) -> float:
+            r = p * (n - 1)
+            lo, hi = int(np.floor(r)), int(np.ceil(r))
+            v_lo = uniq[np.searchsorted(cum, lo, side="right")]
+            v_hi = uniq[np.searchsorted(cum, hi, side="right")]
+            return float(v_lo + (r - lo) * (v_hi - v_lo))
+
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group.column("event_type")[0].as_py()], type=pa.string()
+                ),
+                "p50": pa.array([q(0.5)], type=pa.float64()),
+                "p95": pa.array([q(0.95)], type=pa.float64()),
+                "p99": pa.array([q(0.99)], type=pa.float64()),
+            }
+        )
+
+    return part.groupby("event_type").map_groups(_pct, batch_format="pyarrow")
+
+
 def vocab_topk(sf_dir: str, k: int = 20):
     """Corpus top-k vocabulary by occurrence count — the canonical
     pre-aggregate-before-shuffle shape: each batch folds its tokens into a
@@ -2207,6 +2274,7 @@ QUERIES = {
     "repetition_scores": repetition_scores,
     "decontaminate_docs": decontaminate_docs,
     "vocab_topk": vocab_topk,
+    "events_value_percentiles": events_value_percentiles,
     "jaccard_neardup_exact": jaccard_neardup_exact_pairs,
     "knn_cosine_top10": knn_cosine_top10,
     "knn_cosine_lsh": knn_cosine_lsh,
@@ -2492,6 +2560,13 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY n_occurrences DESC, token
         LIMIT 20
+    """,
+    "events_value_percentiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.95) AS p95,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
     """,
     "jaccard_neardup_exact": _sql_jaccard_exact(),
     "simhash_docs": _sql_simhash(),

@@ -149,3 +149,26 @@ def test_vocab_topk_planted_counts_and_tiebreak(ray_session, tmp_path):
         ("aa", 2),
         ("bb", 2),
     ]
+
+
+# ----------------------------------------------------- exact percentiles
+def test_events_value_percentiles_interpolation(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.pipelines.queries import events_value_percentiles
+
+    a = [1.0, 2.0, 2.0, 3.0, 10.0]  # duplicates + interpolation
+    b = list(np.linspace(0.0, 99.0, 100))
+    t = pa.table(
+        {
+            "event_type": pa.array(["a"] * len(a) + ["b"] * len(b)),
+            "value": pa.array(a + b, type=pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    rows = {r["event_type"]: r for r in events_value_percentiles(str(tmp_path)).take_all()}
+    for et, vals in (("a", a), ("b", b)):
+        for col, p in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+            want = float(np.quantile(vals, p))  # linear = quantile_cont
+            assert abs(rows[et][col] - want) < 1e-12, (et, col, rows[et][col], want)
