@@ -923,6 +923,26 @@ def knn_cosine_ivf(sf_dir: str):
     return ivf_knn(ds, q, centroids, k=10, nprobe=5)
 
 
+def embedding_kmeans_assign(sf_dir: str):
+    """Corpus-wide k-means cluster assignment over the embedding column:
+    bounded-sample spherical-k-means training (the IVF trainer — the only
+    data the driver holds is the ≤2048-row sample), then a stateless
+    broadcast-centroid map assigns every vector its nearest cluster.  The
+    oracle retrains the same seeded centroids and inlines them as literals
+    (the knn_cosine_ivf pattern) with matching first-max tie order."""
+    from ..stages.similarity import IVFAssignStage, train_ivf_centroids
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = train_ivf_centroids(ds, n_centroids=8, seed=11)
+    return ds.map_batches(
+        IVFAssignStage,
+        fn_constructor_kwargs=dict(centroids=centroids, passthrough=False),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def embedding_neardup(sf_dir: str, threshold: float = 0.3):
     """All-pairs cosine ≥ threshold (brute-force blocked matmul against a
     broadcast normalized matrix)."""
@@ -1709,17 +1729,16 @@ LIMIT 10
 """
 
 
-def _sql_knn_ivf(n_centroids: int = 8, nprobe: int = 5, seed: int = 11,
-                 sample_size: int = 2048) -> str | None:
-    """SQL twin of queries.knn_cosine_ivf: retrains the (deterministic,
-    seeded) spherical-k-means centroids with the SAME numpy core the Ray
-    path uses (stages/similarity.py::spherical_kmeans) over the same
-    id-sorted bounded sample, inlines them as DOUBLE[] literals — exactly
-    the plane-literal pattern of _sql_embedding_neardup_lsh — and redoes
-    assign → probe → exact re-rank in SQL.  The training sample is read
+def _ivf_centroid_values(n_centroids: int = 8, seed: int = 11,
+                         sample_size: int = 2048) -> str | None:
+    """Retrain the seeded spherical-k-means centroids with the SAME numpy
+    core the Ray path uses (stages/similarity.py::spherical_kmeans) over
+    the same id-sorted bounded sample, and render them as a SQL VALUES
+    list of (pid, DOUBLE[]) rows — the literal-inlining pattern shared by
+    the IVF and k-means-assignment oracles.  The training sample is read
     from the driver's oracle scale factor (sf0.01 unless
-    GRAFT_ORACLE_SF_DIR overrides), the one data-dependence a static
-    oracle string can't avoid; returns None when that table is absent."""
+    GRAFT_ORACLE_SF_DIR overrides); returns None when that table is
+    absent on this machine."""
     import os
 
     sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
@@ -1734,10 +1753,48 @@ def _sql_knn_ivf(n_centroids: int = 8, nprobe: int = 5, seed: int = 11,
     t = t.sort_by("vec_id")
     m = _normalize(np.asarray(t.column("embedding").to_pylist(), dtype=np.float64))
     cents = spherical_kmeans(m, n_centroids, seed=seed)
-    rows = ", ".join(
+    return ", ".join(
         "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(float(x)) for x in cents[i]))
         for i in range(len(cents))
     )
+
+
+def _sql_kmeans_assign(n_centroids: int = 8, seed: int = 11) -> str | None:
+    """SQL twin of queries.embedding_kmeans_assign: inlined retrained
+    centroids, per-row argmax via row_number ordered (dot DESC, pid) —
+    first-max tie order, matching np.argmax.  Row normalization is
+    dropped on both ranks: argmax of q·c is scale-invariant in q."""
+    rows = _ivf_centroid_values(n_centroids, seed)
+    if rows is None:
+        return None
+    return f"""
+WITH cent(pid, cvec) AS (VALUES {rows}),
+ranked AS (
+    SELECT e.vec_id, c.pid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.pid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+)
+SELECT vec_id, pid AS cluster FROM ranked WHERE rn = 1
+"""
+
+
+def _sql_knn_ivf(n_centroids: int = 8, nprobe: int = 5, seed: int = 11,
+                 sample_size: int = 2048) -> str | None:
+    """SQL twin of queries.knn_cosine_ivf: retrains the (deterministic,
+    seeded) spherical-k-means centroids with the SAME numpy core the Ray
+    path uses (stages/similarity.py::spherical_kmeans) over the same
+    id-sorted bounded sample, inlines them as DOUBLE[] literals — exactly
+    the plane-literal pattern of _sql_embedding_neardup_lsh — and redoes
+    assign → probe → exact re-rank in SQL.  The training sample is read
+    from the driver's oracle scale factor (sf0.01 unless
+    GRAFT_ORACLE_SF_DIR overrides), the one data-dependence a static
+    oracle string can't avoid; returns None when that table is absent."""
+    rows = _ivf_centroid_values(n_centroids, seed, sample_size)
+    if rows is None:
+        return None
     return f"""
 WITH cent(pid, cvec) AS (VALUES {rows}),
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
@@ -2279,6 +2336,7 @@ QUERIES = {
     "knn_cosine_top10": knn_cosine_top10,
     "knn_cosine_lsh": knn_cosine_lsh,
     "knn_cosine_ivf": knn_cosine_ivf,
+    "embedding_kmeans_assign": embedding_kmeans_assign,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "docs_interleaved": docs_interleaved,
@@ -2588,3 +2646,6 @@ ORACLE_SQL = {
 _ivf_oracle = _sql_knn_ivf()
 if _ivf_oracle:
     ORACLE_SQL["knn_cosine_ivf"] = _ivf_oracle
+_kmeans_oracle = _sql_kmeans_assign()
+if _kmeans_oracle:
+    ORACLE_SQL["embedding_kmeans_assign"] = _kmeans_oracle
