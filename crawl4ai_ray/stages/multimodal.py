@@ -1,11 +1,14 @@
 """Multimodal plumbing: media columns as opaque binary + typed metadata.
 
-Image/audio decode libraries are not in this container, so the *decode
-kernels* are stubbed (NotImplementedError behind ``RealDecoder``, plus a
-deterministic fake used by tests/bench), but everything Ray-side is real and
-tested: schema (binary payload column + struct metadata), actor-pool stage
-signature (decoder built once per actor), small-batch sizing for wide binary
-rows, and the output layout.
+Three decoder tiers: ``HeaderProbeDecoder`` is REAL and dependency-free
+(container-header parsing — PNG/GIF/BMP/JPEG/WAV dimensions and sample
+counts from bytes); ``RealDecoder`` is the gated PIL/ffmpeg pixel-decode
+slot (libs not in this container → NotImplementedError); and
+``DeterministicFakeDecoder`` gives md5-derived metadata the DuckDB oracle
+can recompute.  Everything Ray-side is real and tested: schema (binary
+payload column + struct metadata), actor-pool stage signature (decoder
+built once per actor), small-batch sizing for wide binary rows, and the
+output layout.
 
 Mirrors the reference's media model (MediaItem {src, data, alt, desc, score,
 type, format, width}, /root/reference/crawl4ai/models.py:343-352) with the
@@ -62,14 +65,81 @@ def spans_to_media_rows(batch: pa.Table) -> pa.Table:
 
 
 class RealDecoder:
-    """Placeholder for a PIL/ffmpeg-backed decoder — NOT available in this
-    container.  A real deployment implements decode() with the actual lib."""
+    """Placeholder for a PIL/ffmpeg-backed PIXEL decoder — NOT available in
+    this container.  A real deployment implements decode() with the actual
+    lib.  For metadata-only needs use HeaderProbeDecoder below, which is
+    fully functional with no dependencies."""
 
     def decode(self, payload: bytes, kind: str) -> dict:
         raise NotImplementedError(
             "image/audio decode libs are not installed in this sandbox; "
-            "use DeterministicFakeDecoder for tests"
+            "use HeaderProbeDecoder (metadata) or DeterministicFakeDecoder"
         )
+
+
+class HeaderProbeDecoder:
+    """REAL dependency-free media metadata extraction by parsing container
+    headers — PNG IHDR, GIF logical screen descriptor, BMP info header,
+    JPEG SOFn segment scan, WAV RIFF fmt/data chunks.  This is the
+    header-sniff stage a 100-TB pipeline runs before (or instead of) any
+    pixel decode: dimensions / sample counts without touching payload
+    bodies.  Unknown containers yield format '' and zeros (never raises).
+
+    Reference parity note: the reference records MediaItem.width from HTML
+    attributes only (models.py:343-352); byte-level probing is our
+    extension for payload-bearing corpora."""
+
+    def decode(self, payload: bytes, kind: str) -> dict:
+        import struct
+
+        p = payload or b""
+        meta = {"width": 0, "height": 0, "format": "", "n_frames": 1}
+        try:
+            if p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
+                w, h = struct.unpack(">II", p[16:24])
+                meta.update(width=w, height=h, format="png")
+            elif p[:6] in (b"GIF87a", b"GIF89a"):
+                w, h = struct.unpack("<HH", p[6:10])
+                # frame count = image-descriptor separators (0x2C at a
+                # block boundary is hard without full LZW parsing; the
+                # screen descriptor is authoritative for dimensions)
+                meta.update(width=w, height=h, format="gif")
+            elif p[:2] == b"BM" and len(p) >= 26:
+                w, h = struct.unpack("<ii", p[18:26])
+                meta.update(width=w, height=abs(h), format="bmp")
+            elif p[:2] == b"\xff\xd8":
+                meta.update(format="jpg")
+                i = 2
+                while i + 9 < len(p):
+                    if p[i] != 0xFF:
+                        break
+                    marker = p[i + 1]
+                    if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                        i += 2
+                        continue
+                    seg_len = struct.unpack(">H", p[i + 2 : i + 4])[0]
+                    # SOF0-SOF15 minus DHT(C4)/DNL(C8)/DAC(CC)
+                    if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                        h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                        meta.update(width=w, height=h)
+                        break
+                    i += 2 + seg_len
+            elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                i = 12
+                block_align = 0
+                while i + 8 <= len(p):
+                    cid = p[i : i + 4]
+                    clen = struct.unpack("<I", p[i + 4 : i + 8])[0]
+                    if cid == b"fmt " and i + 22 <= len(p):
+                        block_align = struct.unpack("<H", p[i + 20 : i + 22])[0]
+                        meta.update(format="wav")
+                    elif cid == b"data" and block_align:
+                        # n_frames = audio sample frames in the data chunk
+                        meta.update(n_frames=clen // block_align)
+                    i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        except (struct.error, IndexError):
+            pass
+        return meta
 
 
 class DeterministicFakeDecoder:

@@ -666,3 +666,79 @@ class TestLLMExtraction:
         out = QUERIES["llm_extract_demo"]("/root/testdata/sf0.001")
         t = out.limit(5).take_all()
         assert len(t) == 5 and all(r["n_blocks"] >= 1 for r in t)
+
+
+def test_header_probe_decoder_real_containers():
+    """HeaderProbeDecoder parses REAL container headers (no image libs):
+    hand-built minimal valid PNG/GIF/BMP/JPEG/WAV byte strings."""
+    import struct
+
+    from crawl4ai_ray.stages.multimodal import HeaderProbeDecoder
+
+    d = HeaderProbeDecoder()
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0))
+    assert d.decode(png, "image") == {
+        "width": 640, "height": 480, "format": "png", "n_frames": 1}
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert d.decode(gif, "image")["width"] == 320
+    assert d.decode(gif, "image")["format"] == "gif"
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50)  # top-down: negative height
+    m = d.decode(bmp, "image")
+    assert (m["width"], m["height"], m["format"]) == (100, 50, "bmp")
+
+    # JPEG: SOI, APP0 segment, SOF0 with height=240 width=360
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 240, 360) + b"\x01\x11\x00"
+    jpg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    m = d.decode(jpg, "image")
+    assert (m["width"], m["height"], m["format"]) == (360, 240, "jpg")
+
+    # WAV: PCM mono 8kHz 16-bit, 4 sample frames (block align 2)
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = b"data" + struct.pack("<I", 8) + b"\x00" * 8
+    wav = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(data)) + b"WAVE" + fmt + data
+    m = d.decode(wav, "audio")
+    assert (m["format"], m["n_frames"]) == ("wav", 4)
+
+    # unknown / truncated containers never raise
+    assert d.decode(b"", "image")["format"] == ""
+    assert d.decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 3, "image")["format"] == ""
+    assert d.decode(b"garbage bytes here", "video")["format"] == ""
+
+
+def test_header_probe_in_decode_stage(ray_session):
+    """The real header-probe decoder slots into MediaDecodeStage exactly
+    like the fake (decoder_factory injection, once per actor)."""
+    import struct
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        HeaderProbeDecoder,
+        MediaDecodeStage,
+    )
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">IIBBBBB", 32, 16, 8, 2, 0, 0, 0))
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d1"], type=pa.string()),
+            "media_ref": pa.array(["img://1"], type=pa.string()),
+            "kind": pa.array(["image"], type=pa.string()),
+            "payload": pa.array([png], type=pa.binary()),
+            "meta": pa.array([None], type=MEDIA_SCHEMA.field("meta").type),
+        }
+    )
+    out = rd.from_arrow(t).map_batches(
+        MediaDecodeStage,
+        fn_constructor_kwargs=dict(decoder_factory=HeaderProbeDecoder, synth_payload=False),
+        concurrency=1,
+        batch_format="pyarrow",
+    ).take_all()
+    assert out[0]["meta"] == {"width": 32, "height": 16, "format": "png", "n_frames": 1}
