@@ -25,6 +25,7 @@ import ray
 
 from ..hashing import h64
 from ..state.bloom import BloomFilter
+from ..state.cuckoo import CuckooFilter
 
 
 @ray.remote(num_cpus=0)
@@ -41,10 +42,17 @@ class SeenShard:
         capacity: int = 1_000_000,
         error_rate: float = 0.01,
         exact: bool = True,
+        filter_kind: str = "bloom",
     ):
         self.shard_id = shard_id
         self.exact_enabled = exact
-        self.bloom = BloomFilter(capacity, error_rate)
+        # approximate-membership backend: insert-only bloom (default) or
+        # the deletable cuckoo filter (north rule: "bloom/cuckoo") — same
+        # batch API (state/bloom.py, state/cuckoo.py)
+        self.bloom = (
+            CuckooFilter(capacity) if filter_kind == "cuckoo"
+            else BloomFilter(capacity, error_rate)
+        )
         self.exact: set[str] = set()
         self.generation = 0
 
@@ -112,10 +120,11 @@ class SeenShardPool:
         capacity_per_shard: int = 1_000_000,
         error_rate: float = 0.01,
         exact: bool = True,
+        filter_kind: str = "bloom",
     ):
         self.num_shards = num_shards
         self.shards = [
-            SeenShard.remote(i, capacity_per_shard, error_rate, exact)
+            SeenShard.remote(i, capacity_per_shard, error_rate, exact, filter_kind)
             for i in range(num_shards)
         ]
 
