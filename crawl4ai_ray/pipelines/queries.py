@@ -804,6 +804,81 @@ def events_value_percentiles(sf_dir: str):
     return part.groupby("event_type").map_groups(_pct, batch_format="pyarrow")
 
 
+def posting_lists(sf_dir: str, range_width: int = 200):
+    """Inverted index: token → df + sorted distinct doc-id posting list
+    (comma-joined string so the SQL twin compares exactly).
+
+    Skew-safe two-level construction — a stopword-class token has
+    df = O(corpus), so a single groupby(token).map_groups would hand one
+    task the whole corpus (the classic hot-key blowup).  Instead:
+
+    1. (doc_id, token) pairs carry a RANGE key ``rk = doc_id // width``;
+       segments build under groupby((token, rk)) — each task sees at most
+       ``width`` ids regardless of token popularity;
+    2. a second groupby(token) concatenates the per-range segments in rk
+       order (group size = number of ranges, bounded by id-space/width,
+       never by df) and sums their counts.
+
+    Because ranges partition the id space in order, rk-ordered
+    concatenation of sorted segments IS the globally sorted list."""
+    from ..functions.textstats import tokens as _tokens
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        out_tok: list[str] = []
+        out_id: list[int] = []
+        for did, t in zip(
+            b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+        ):
+            for tok in set(_tokens((t or "").lower())):
+                out_tok.append(tok)
+                out_id.append(did)
+        rk = [i // range_width for i in out_id]
+        return pa.table(
+            {
+                "token": pa.array(out_tok, type=pa.string()),
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "seg": pa.array(
+                    [f"{t}|{r}" for t, r in zip(out_tok, rk)], type=pa.string()
+                ),
+                "rk": pa.array(rk, type=pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _segment(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        return pa.table(
+            {
+                "token": pa.array([group.column("token")[0].as_py()]),
+                "rk": pa.array([group.column("rk")[0].as_py()], type=pa.int64()),
+                "n": pa.array([len(ids)], type=pa.int64()),
+                "ids": pa.array([",".join(map(str, ids))], type=pa.string()),
+            }
+        )
+
+    segs = pairs.groupby("seg").map_groups(_segment, batch_format="pyarrow")
+
+    def _merge(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("rk", "ascending")])
+        g = group.take(order)
+        return pa.table(
+            {
+                "token": pa.array([g.column("token")[0].as_py()]),
+                "df": pa.array(
+                    [int(sum(g.column("n").to_pylist()))], type=pa.int64()
+                ),
+                "doc_ids": pa.array(
+                    [",".join(g.column("ids").to_pylist())], type=pa.string()
+                ),
+            }
+        )
+
+    return segs.groupby("token").map_groups(_merge, batch_format="pyarrow")
+
+
 def vocab_topk(sf_dir: str, k: int = 20):
     """Corpus top-k vocabulary by occurrence count — the canonical
     pre-aggregate-before-shuffle shape: each batch folds its tokens into a
@@ -2331,6 +2406,7 @@ QUERIES = {
     "repetition_scores": repetition_scores,
     "decontaminate_docs": decontaminate_docs,
     "vocab_topk": vocab_topk,
+    "posting_lists": posting_lists,
     "events_value_percentiles": events_value_percentiles,
     "jaccard_neardup_exact": jaccard_neardup_exact_pairs,
     "knn_cosine_top10": knn_cosine_top10,
@@ -2618,6 +2694,14 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY n_occurrences DESC, token
         LIMIT 20
+    """,
+    "posting_lists": f"""
+        WITH p AS (
+            SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+        )
+        SELECT token, count(*) AS df,
+               array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        FROM p GROUP BY token
     """,
     "events_value_percentiles": """
         SELECT event_type,

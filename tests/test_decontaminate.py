@@ -172,3 +172,26 @@ def test_events_value_percentiles_interpolation(ray_session, tmp_path):
         for col, p in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
             want = float(np.quantile(vals, p))  # linear = quantile_cont
             assert abs(rows[et][col] - want) < 1e-12, (et, col, rows[et][col], want)
+
+
+# ------------------------------------------------------------ posting lists
+def test_posting_lists_range_segmented_merge(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.pipelines.queries import posting_lists
+
+    # token "x" in all 10 docs; range_width=3 → 4 segments merged in order
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), type=pa.int64()),
+            "text": pa.array(
+                [f"x unique{i}" for i in range(10)], type=pa.string()
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    rows = {r["token"]: r for r in posting_lists(str(tmp_path), range_width=3).take_all()}
+    assert rows["x"]["df"] == 10
+    assert rows["x"]["doc_ids"] == ",".join(map(str, range(10)))
+    assert rows["unique7"]["doc_ids"] == "7"
+    assert rows["unique7"]["df"] == 1
