@@ -737,6 +737,38 @@ def decontaminate_docs(sf_dir: str):
     return flag_contaminated(corpus, grams, k=DECON_K)
 
 
+def user_funnel_stages(sf_dir: str):
+    """Funnel analysis: per user, how far through view → click → purchase
+    did they get (stage 0–3), matching events in strict timestamp order.
+    Greedy earliest-match is exact for subsequence existence (taking the
+    earliest qualifying event never forecloses a later stage), which is
+    what lets the SQL twin express it as three cascaded min-ts joins.
+    Groups are per-user — bounded by one user's activity, not corpus size."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def _stage(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        types = group.column("event_type").to_pylist()
+        cur = -(1 << 62)
+        stage = 0
+        for want in ("view", "click", "purchase"):
+            cand = [t for t, k in zip(ts, types) if k == want and t > cur]
+            if not cand:
+                break
+            cur = min(cand)
+            stage += 1
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [group.column("user_id")[0].as_py()], type=pa.int64()
+                ),
+                "funnel_stage": pa.array([stage], type=pa.int32()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(_stage, batch_format="pyarrow")
+
+
 def events_value_percentiles(sf_dir: str):
     """Exact interpolated percentiles (p50/p95/p99 of `value` per
     event_type) via distributed histogram aggregation — the scale-correct
@@ -2408,6 +2440,7 @@ QUERIES = {
     "vocab_topk": vocab_topk,
     "posting_lists": posting_lists,
     "events_value_percentiles": events_value_percentiles,
+    "user_funnel_stages": user_funnel_stages,
     "jaccard_neardup_exact": jaccard_neardup_exact_pairs,
     "knn_cosine_top10": knn_cosine_top10,
     "knn_cosine_lsh": knn_cosine_lsh,
@@ -2694,6 +2727,28 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY n_occurrences DESC, token
         LIMIT 20
+    """,
+    "user_funnel_stages": """
+        WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > s1.t1
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+               JOIN s2 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+               GROUP BY e.user_id),
+        u AS (SELECT DISTINCT user_id FROM events)
+        SELECT u.user_id,
+               CASE WHEN t3 IS NOT NULL THEN 3
+                    WHEN t2 IS NOT NULL THEN 2
+                    WHEN t1 IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_stage
+        FROM u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
     """,
     "posting_lists": f"""
         WITH p AS (

@@ -195,3 +195,29 @@ def test_posting_lists_range_segmented_merge(ray_session, tmp_path):
     assert rows["x"]["doc_ids"] == ",".join(map(str, range(10)))
     assert rows["unique7"]["doc_ids"] == "7"
     assert rows["unique7"]["df"] == 1
+
+
+# ------------------------------------------------------------- funnel stages
+def test_user_funnel_stages_strict_order(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.pipelines.queries import user_funnel_stages
+
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),   # full funnel
+        (2, 1, "click"), (2, 2, "view"), (2, 3, "purchase"),   # click BEFORE view
+        (3, 5, "view"),                                         # stage 1
+        (4, 1, "error"),                                        # stage 0
+        (5, 1, "view"), (5, 1, "click"),                        # same ts: not strictly after
+        (6, 1, "view"), (6, 2, "click"), (6, 2, "purchase"),    # purchase not after click
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] * 10**6 for r in rows], type=pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = {r["user_id"]: r["funnel_stage"] for r in user_funnel_stages(str(tmp_path)).take_all()}
+    assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 1, 6: 2}
