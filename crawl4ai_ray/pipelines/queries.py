@@ -718,21 +718,19 @@ def decontaminate_docs(sf_dir: str):
     5% hash split of `documents` plays the eval benchmark; every remaining
     doc is flagged when it shares any 8-token n-gram with that set.
     Benchmark gram hashes broadcast once (ray.put); corpus side is a
-    stateless vectorized map — nothing corpus-sized leaves the workers."""
+    stateless vectorized map — nothing corpus-sized leaves the workers.
+
+    NOTE on the demo wiring: carving the benchmark out of the corpus is a
+    test-data convenience; it makes the bench side O(rate × corpus), which
+    violates flag_contaminated's small-side contract at real scale.  In
+    production the benchmark is an independent, naturally-small eval table
+    (MBs) passed directly to benchmark_gram_hashes — never a corpus split."""
     from ..stages.decontaminate import benchmark_gram_hashes, flag_contaminated
-    from ..stages.sampling import BUCKETS, _bucket_array
+    from ..stages.sampling import hash_split
 
-    cut = int(round(DECON_RATE * BUCKETS))
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def _bench(b: pa.Table) -> pa.Table:
-        return b.filter(pa.array(_bucket_array(b.column("doc_id").to_pylist(), DECON_SALT) < cut))
-
-    def _corpus(b: pa.Table) -> pa.Table:
-        return b.filter(pa.array(_bucket_array(b.column("doc_id").to_pylist(), DECON_SALT) >= cut))
-
-    bench = ds.map_batches(_bench, batch_format="pyarrow", zero_copy_batch=True)
-    corpus = ds.map_batches(_corpus, batch_format="pyarrow", zero_copy_batch=True)
+    bench = hash_split(ds, DECON_RATE, salt=DECON_SALT, keep=True)
+    corpus = hash_split(ds, DECON_RATE, salt=DECON_SALT, keep=False)
     grams = benchmark_gram_hashes(bench, k=DECON_K)
     return flag_contaminated(corpus, grams, k=DECON_K)
 
@@ -866,15 +864,13 @@ def posting_lists(sf_dir: str, range_width: int = 200):
             for tok in set(_tokens((t or "").lower())):
                 out_tok.append(tok)
                 out_id.append(did)
-        rk = [i // range_width for i in out_id]
         return pa.table(
             {
                 "token": pa.array(out_tok, type=pa.string()),
                 "doc_id": pa.array(out_id, type=pa.int64()),
-                "seg": pa.array(
-                    [f"{t}|{r}" for t, r in zip(out_tok, rk)], type=pa.string()
+                "rk": pa.array(
+                    [i // range_width for i in out_id], type=pa.int64()
                 ),
-                "rk": pa.array(rk, type=pa.int64()),
             }
         )
 
@@ -891,7 +887,7 @@ def posting_lists(sf_dir: str, range_width: int = 200):
             }
         )
 
-    segs = pairs.groupby("seg").map_groups(_segment, batch_format="pyarrow")
+    segs = pairs.groupby(["token", "rk"]).map_groups(_segment, batch_format="pyarrow")
 
     def _merge(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(group, sort_keys=[("rk", "ascending")])
@@ -1870,7 +1866,11 @@ def _sql_kmeans_assign(n_centroids: int = 8, seed: int = 11) -> str | None:
     """SQL twin of queries.embedding_kmeans_assign: inlined retrained
     centroids, per-row argmax via row_number ordered (dot DESC, pid) —
     first-max tie order, matching np.argmax.  Row normalization is
-    dropped on both ranks: argmax of q·c is scale-invariant in q."""
+    dropped on the SQL side: argmax of q·c is scale-invariant in q in
+    real arithmetic.  In floating point the two sides round differently
+    (numpy matmul vs sequential list_dot_product), so a row whose top two
+    centroid dots are within a few ulps could in principle flip — same
+    accepted fragility class as every float-comparing oracle here."""
     rows = _ivf_centroid_values(n_centroids, seed)
     if rows is None:
         return None
@@ -2070,7 +2070,8 @@ FROM (SELECT doc_id, ({_sql_hash_bucket(salt)}) AS b FROM documents)
 """
 
 
-_SQL_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+# null-safe: the Ray kernels all run on `text or ""`
+_SQL_TOKS = r"list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'), x -> x <> '')"
 
 
 def _sql_repetition() -> str:
@@ -2102,7 +2103,8 @@ WITH t AS (
     FROM g
 )
 SELECT doc_id, n AS n_tokens, distinct_ratio, top_token_frac, top_bigram_frac,
-       (top_bigram_frac > 0.18 OR distinct_ratio < 0.2) AS repetitive
+       -- zero-token docs are NOT repetitive (repetition_stats' early return)
+       (n > 0 AND (top_bigram_frac > 0.18 OR distinct_ratio < 0.2)) AS repetitive
 FROM f
 """
 

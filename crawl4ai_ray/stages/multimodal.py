@@ -113,6 +113,9 @@ class HeaderProbeDecoder:
                 while i + 9 < len(p):
                     if p[i] != 0xFF:
                         break
+                    # spec allows any number of 0xFF fill bytes before a marker
+                    while p[i + 1] == 0xFF and i + 9 < len(p):
+                        i += 1
                     marker = p[i + 1]
                     if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                         i += 2

@@ -38,13 +38,23 @@ def hash_sample(ds, rate: float, key_col: str = "doc_id",
     """Keep a deterministic ~``rate`` fraction of rows (rate in (0, 1],
     resolution 1/BUCKETS).  Membership is per-id stable: the same row is
     kept in every run and at every cluster size."""
+    return hash_split(ds, rate, key_col=key_col, salt=salt, keep=True)
+
+
+def hash_split(ds, rate: float, key_col: str = "doc_id",
+               salt: str = "sample:v1", keep: bool = True):
+    """One side of the deterministic hash partition: rows whose bucket is
+    below (keep=True) or at/above (keep=False) the cut.  ``hash_split(ds,
+    r, keep=True)`` and ``keep=False`` are exact complements — the pair
+    form callers use to carve a held-out set out of a corpus."""
     cut = int(round(rate * BUCKETS))
 
-    def _keep(batch: pa.Table) -> pa.Table:
+    def _side(batch: pa.Table) -> pa.Table:
         b = _bucket_array(batch.column(key_col).to_pylist(), salt)
-        return batch.filter(pa.array(b < cut))
+        mask = b < cut if keep else b >= cut
+        return batch.filter(pa.array(mask))
 
-    return ds.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_side, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def stratified_split(ds, splits: list[tuple[str, float]] | None = None,

@@ -49,10 +49,19 @@ class SeenShard:
         # approximate-membership backend: insert-only bloom (default) or
         # the deletable cuckoo filter (north rule: "bloom/cuckoo") — same
         # batch API (state/bloom.py, state/cuckoo.py)
-        self.bloom = (
-            CuckooFilter(capacity) if filter_kind == "cuckoo"
-            else BloomFilter(capacity, error_rate)
-        )
+        if filter_kind == "cuckoo":
+            # 16-bit fingerprints fix the cuckoo FP rate at ~2·slots/2^16;
+            # reject budgets it cannot honor rather than silently missing
+            cuckoo_fp = 8 / 65536
+            if error_rate < cuckoo_fp:
+                raise ValueError(
+                    f"cuckoo backend FP rate is ~{cuckoo_fp:.1e} (16-bit "
+                    f"fingerprints); requested error_rate={error_rate} is "
+                    "unsatisfiable — use the bloom backend"
+                )
+            self.bloom = CuckooFilter(capacity)
+        else:
+            self.bloom = BloomFilter(capacity, error_rate)
         self.exact: set[str] = set()
         self.generation = 0
 

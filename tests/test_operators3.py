@@ -742,3 +742,16 @@ def test_header_probe_in_decode_stage(ray_session):
         batch_format="pyarrow",
     ).take_all()
     assert out[0]["meta"] == {"width": 32, "height": 16, "format": "png", "n_frames": 1}
+
+
+def test_header_probe_jpeg_fill_bytes():
+    """Spec-legal 0xFF fill bytes before a marker must not hide the SOF."""
+    import struct
+
+    from crawl4ai_ray.stages.multimodal import HeaderProbeDecoder
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xff\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 240, 360) + b"\x01\x11\x00"
+    jpg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    m = HeaderProbeDecoder().decode(jpg, "image")
+    assert (m["width"], m["height"], m["format"]) == (360, 240, "jpg")

@@ -76,3 +76,13 @@ def test_stratified_split_custom_weights(ray_session):
     for r in rows:
         b = md5_64(f"s2|{r['doc_id']}") % BUCKETS
         assert r["split"] == ("a" if b < BUCKETS // 2 else "b")
+
+
+def test_hash_split_sides_are_exact_complements(ray_session):
+    from crawl4ai_ray.stages.sampling import hash_split
+
+    ids = list(range(1500))
+    keep = {r["doc_id"] for r in hash_split(_docs(ids), 0.2, keep=True).take_all()}
+    rest = {r["doc_id"] for r in hash_split(_docs(ids), 0.2, keep=False).take_all()}
+    assert keep | rest == set(ids)
+    assert keep & rest == set()

@@ -425,3 +425,16 @@ def test_seen_shard_cuckoo_backend(ray_session):
     again = ray.get(shard.check_and_add.remote(["u2", "u3"]))
     assert again.tolist() == [False, True]
     assert ray.get(shard.size.remote()) == 3
+
+
+def test_seen_shard_cuckoo_rejects_unsatisfiable_error_rate(ray_session):
+    import ray
+
+    from crawl4ai_ray.stages.seen import SeenShard
+
+    shard = SeenShard.remote(0, 10_000, 1e-6, False, "cuckoo")
+    try:
+        ray.get(shard.size.remote())
+        raise AssertionError("expected constructor ValueError")
+    except ray.exceptions.RayActorError as e:
+        assert "unsatisfiable" in str(e)
