@@ -661,6 +661,20 @@ def neardup_components(sf_dir: str):
     return connected_components(pairs)
 
 
+def neardup_component_sizes(sf_dir: str):
+    """Dedup observability: histogram of near-dup component sizes
+    ((size, how many components have it)) — the first thing to look at
+    before committing a keep-one pass over a new corpus (a giant component
+    usually means boilerplate, not true duplication).  Two tiny groupbys
+    over the component labels; nothing corpus-sized moves."""
+    from ..stages.dedup import connected_components, minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    comps = connected_components(minhash_dedup_pairs(ds, threshold=0.5))
+    sizes = comps.groupby("component_id").aggregate(Count(alias_name="size"))
+    return sizes.groupby("size").aggregate(Count(alias_name="n_components"))
+
+
 def dedup_keep_one(sf_dir: str):
     """Corpus keep-one fuzzy dedup end-to-end: minhash near-dup pairs →
     connected components → drop every non-min member; survivors stream out
@@ -2171,6 +2185,16 @@ SELECT doc_id, component_id FROM comp
 """
 
 
+def _sql_component_sizes(**kw) -> str:
+    return f"""
+WITH RECURSIVE {_sql_minhash_cte_chain(**kw)},{_sql_components_cte()},
+sizes AS (
+    SELECT component_id, count(*) AS size FROM comp GROUP BY component_id
+)
+SELECT size, count(*) AS n_components FROM sizes GROUP BY size
+"""
+
+
 def _sql_dedup_keep_one(**kw) -> str:
     return f"""
 WITH RECURSIVE {_sql_minhash_cte_chain(**kw)},{_sql_components_cte()}
@@ -2434,6 +2458,7 @@ QUERIES = {
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "minhash_neardup_pairs": minhash_neardup_pairs,
     "neardup_components": neardup_components,
+    "neardup_component_sizes": neardup_component_sizes,
     "dedup_keep_one": dedup_keep_one,
     "docs_hash_sample": docs_hash_sample,
     "docs_split_stratified": docs_split_stratified,
@@ -2718,6 +2743,7 @@ ORACLE_SQL = {
     "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
     "minhash_neardup_pairs": _sql_minhash_pairs(),
     "neardup_components": _sql_neardup_components(),
+    "neardup_component_sizes": _sql_component_sizes(),
     "dedup_keep_one": _sql_dedup_keep_one(),
     "docs_hash_sample": _sql_hash_sample(),
     "docs_split_stratified": _sql_split_stratified(),
