@@ -749,6 +749,95 @@ def decontaminate_docs(sf_dir: str):
     return flag_contaminated(corpus, grams, k=DECON_K)
 
 
+def top_orders_per_segment(sf_dir: str, n: int = 3):
+    """Group-wise top-N (the window row_number()<=N shape the Dataset API
+    lacks natively): top orders by price per market segment.  Scale trick:
+    each batch pre-prunes to its LOCAL top-N per segment before the
+    shuffle — the exchange carries ≤ N×segments rows per batch, never the
+    fact table — then per-segment groups pick the global top-N.  Segment
+    comes from a broadcast customer dict (revenue_by_nation pattern).
+    Total order (price DESC, orderkey ASC) on both sides."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_of = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())
+    )
+    lookup_ref = ray.put(seg_of)
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _topn(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+        )
+        return t.take(order.slice(0, n))
+
+    class _LocalTop:
+        def __init__(self, ref):
+            self.seg_of = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            seg = pa.array(
+                [self.seg_of[c] for c in b.column("o_custkey").to_pylist()],
+                type=pa.string(),
+            )
+            t = pa.table(
+                {
+                    "segment": seg,
+                    "o_orderkey": b.column("o_orderkey"),
+                    "o_totalprice": b.column("o_totalprice"),
+                }
+            )
+            parts = []
+            for s in pc.unique(seg).to_pylist():
+                parts.append(_topn(t.filter(pc.equal(t.column("segment"), s))))
+            return pa.concat_tables(parts) if parts else t.slice(0, 0)
+
+    pruned = ds.map_batches(
+        _LocalTop,
+        fn_constructor_kwargs=dict(ref=lookup_ref),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pruned.groupby("segment").map_groups(_topn, batch_format="pyarrow")
+
+
+def distinct_users_by_type(sf_dir: str):
+    """Exact distinct-count per group at scale: per-batch (type, user)
+    dedup, a pair-keyed groupby collapses global duplicates, then a tiny
+    per-type count — the exchange carries distinct pairs, never raw
+    events, and no group ever holds more than one row per distinct pair."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        seen = {
+            (t, u)
+            for t, u in zip(
+                b.column("event_type").to_pylist(), b.column("user_id").to_pylist()
+            )
+        }
+        return pa.table(
+            {
+                "event_type": pa.array([p[0] for p in seen], type=pa.string()),
+                "user_id": pa.array([p[1] for p in seen], type=pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _one(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    uniq = pairs.groupby(["event_type", "user_id"]).map_groups(
+        _one, batch_format="pyarrow"
+    )
+    return uniq.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
 def user_funnel_stages(sf_dir: str):
     """Funnel analysis: per user, how far through view → click → purchase
     did they get (stage 0–3), matching events in strict timestamp order.
@@ -2468,6 +2557,8 @@ QUERIES = {
     "posting_lists": posting_lists,
     "events_value_percentiles": events_value_percentiles,
     "user_funnel_stages": user_funnel_stages,
+    "top_orders_per_segment": top_orders_per_segment,
+    "distinct_users_by_type": distinct_users_by_type,
     "jaccard_neardup_exact": jaccard_neardup_exact_pairs,
     "knn_cosine_top10": knn_cosine_top10,
     "knn_cosine_lsh": knn_cosine_lsh,
@@ -2755,6 +2846,20 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY n_occurrences DESC, token
         LIMIT 20
+    """,
+    "top_orders_per_segment": """
+        SELECT segment, o_orderkey, o_totalprice FROM (
+            SELECT c.c_mktsegment AS segment, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY c.c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders JOIN customer c ON o_custkey = c.c_custkey
+        ) WHERE rn <= 3
+    """,
+    "distinct_users_by_type": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
     """,
     "user_funnel_stages": """
         WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -221,3 +221,51 @@ def test_user_funnel_stages_strict_order(ray_session, tmp_path):
     pq.write_table(t, tmp_path / "events.parquet")
     got = {r["user_id"]: r["funnel_stage"] for r in user_funnel_stages(str(tmp_path)).take_all()}
     assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 1, 6: 2}
+
+
+# ----------------------------------------------------- group-wise top-N
+def test_top_orders_per_segment_ties_and_prune(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.pipelines.queries import top_orders_per_segment
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], type=pa.int64()),
+                "c_mktsegment": pa.array(["A", "B"], type=pa.string()),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    # segment A: prices 5,5,5,1 (tie broken by orderkey asc); B: one order
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12, 13, 20], type=pa.int64()),
+                "o_custkey": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+                "o_totalprice": pa.array([5.0, 5.0, 5.0, 1.0, 9.0]),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    rows = top_orders_per_segment(str(tmp_path), n=3).take_all()
+    got = {(r["segment"], r["o_orderkey"]) for r in rows}
+    assert got == {("A", 10), ("A", 11), ("A", 12), ("B", 20)}
+
+
+def test_distinct_users_by_type_dedups_across_batches(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.pipelines.queries import distinct_users_by_type
+
+    # user 7 does 'view' 50 times — must count once
+    t = pa.table(
+        {
+            "event_type": pa.array(["view"] * 50 + ["click", "view"]),
+            "user_id": pa.array([7] * 50 + [7, 8], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = {r["event_type"]: r["n_users"] for r in distinct_users_by_type(str(tmp_path)).take_all()}
+    assert got == {"view": 2, "click": 1}
