@@ -1010,6 +1010,75 @@ def posting_lists(sf_dir: str, range_width: int = 200):
     return segs.groupby("token").map_groups(_merge, batch_format="pyarrow")
 
 
+def unigram_logprob_scores(sf_dir: str):
+    """CCNet-style language-model quality score, unigram stand-in: per doc,
+    the mean −ln p(token) under the corpus unigram distribution (higher =
+    more surprising/atypical — the perplexity-filter shape used to rank
+    web text against a reference LM).  Two passes: (1) the vocab_topk
+    partial-count aggregation yields corpus token counts — vocab-sized, so
+    it collects and broadcasts (ray.put) like every small side here;
+    (2) a stateless map scores each doc.  OOV tokens are impossible by
+    construction (the vocab came from the same corpus), so no smoothing
+    term is needed."""
+    from collections import Counter
+
+    from ..functions.textstats import tokens as _tokens
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            c.update(_tokens((t or "").lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    counts = {}
+    for batch in (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        for tok, n in zip(
+            batch.column("token").to_pylist(), batch.column("n").to_pylist()
+        ):
+            counts[tok] = int(n)
+    total = sum(counts.values())
+    logp = {t: float(np.log(n / total)) for t, n in counts.items()}
+    ref = ray.put(logp)
+
+    class _Score:
+        def __init__(self, ref):
+            self.logp = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            scores = []
+            for t in b.column("text").to_pylist():
+                toks = _tokens((t or "").lower())
+                scores.append(
+                    -sum(self.logp[x] for x in toks) / len(toks) if toks else 0.0
+                )
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "neg_logprob": pa.array(scores, type=pa.float64()),
+                }
+            )
+
+    return ds.map_batches(
+        _Score,
+        fn_constructor_kwargs=dict(ref=ref),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def vocab_topk(sf_dir: str, k: int = 20):
     """Corpus top-k vocabulary by occurrence count — the canonical
     pre-aggregate-before-shuffle shape: each batch folds its tokens into a
@@ -2554,6 +2623,7 @@ QUERIES = {
     "repetition_scores": repetition_scores,
     "decontaminate_docs": decontaminate_docs,
     "vocab_topk": vocab_topk,
+    "unigram_logprob_scores": unigram_logprob_scores,
     "posting_lists": posting_lists,
     "events_value_percentiles": events_value_percentiles,
     "user_funnel_stages": user_funnel_stages,
@@ -2882,6 +2952,21 @@ ORACLE_SQL = {
         LEFT JOIN s1 USING (user_id)
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
+    """,
+    "unigram_logprob_scores": f"""
+        WITH t AS (
+            SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+        ),
+        occ AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        v AS (SELECT token, count(*) AS n FROM occ GROUP BY token),
+        tot AS (SELECT sum(n) AS total FROM v),
+        means AS (
+            SELECT occ.doc_id, -avg(ln(v.n * 1.0 / tot.total)) AS neg_logprob
+            FROM occ JOIN v USING (token), tot
+            GROUP BY occ.doc_id
+        )
+        SELECT t.doc_id, coalesce(m.neg_logprob, 0.0) AS neg_logprob
+        FROM t LEFT JOIN means m USING (doc_id)
     """,
     "posting_lists": f"""
         WITH p AS (

@@ -269,3 +269,25 @@ def test_distinct_users_by_type_dedups_across_batches(ray_session, tmp_path):
     pq.write_table(t, tmp_path / "events.parquet")
     got = {r["event_type"]: r["n_users"] for r in distinct_users_by_type(str(tmp_path)).take_all()}
     assert got == {"view": 2, "click": 1}
+
+
+# ------------------------------------------------------ unigram LM scores
+def test_unigram_logprob_scores_planted(ray_session, tmp_path):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.pipelines.queries import unigram_logprob_scores
+
+    # corpus counts: a=3, b=1 → p(a)=3/4, p(b)=1/4
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["a a a", "b"], type=pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = {r["doc_id"]: r["neg_logprob"] for r in unigram_logprob_scores(str(tmp_path)).take_all()}
+    assert abs(got[1] - (-math.log(0.75))) < 1e-12   # common doc: low surprise
+    assert abs(got[2] - (-math.log(0.25))) < 1e-12   # rare doc: high surprise
+    assert got[2] > got[1]
