@@ -749,6 +749,79 @@ def decontaminate_docs(sf_dir: str):
     return flag_contaminated(corpus, grams, k=DECON_K)
 
 
+def order_lineitem_totals(sf_dir: str):
+    """Fact-fact inner join + aggregate (order revenue with its status)
+    via the repo's Dataset.join replacement: tagged-union + groupby attach
+    (see stages/dedup.py::minhash_dedup_pairs._attach — Dataset.join's
+    aggregator pools deadlock small clusters and choke on the zero-schema
+    blocks groupby descendants carry).  The lineitem side pre-combines to
+    per-batch (orderkey, cents) partials, so the exchange carries one row
+    per (batch, order), and money rides exact int cents so the sum is
+    order-independent on both sides.  Orders with no lineitems drop
+    (inner-join semantics)."""
+    from ..functions.numeric import cents
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+
+    def _o(b: pa.Table) -> pa.Table:
+        n_rows = b.num_rows
+        return pa.table(
+            {
+                "key": b.column("o_orderkey"),
+                "cents_partial": pa.array(np.zeros(n_rows, np.int64)),
+                "status": b.column("o_orderstatus"),
+                "is_data": pa.array(np.ones(n_rows, bool)),
+            }
+        )
+
+    def _l(b: pa.Table) -> pa.Table:
+        keys = b.column("l_orderkey").to_numpy()
+        c = cents(b.column("l_extendedprice").to_numpy())
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, c)
+        return pa.table(
+            {
+                "key": pa.array(uniq, type=pa.int64()),
+                "cents_partial": pa.array(sums),
+                "status": pa.nulls(len(uniq), type=pa.string()),
+                "is_data": pa.array(np.zeros(len(uniq), bool)),
+            }
+        )
+
+    u = orders.map_batches(_o, batch_format="pyarrow", zero_copy_batch=True).union(
+        items.map_batches(_l, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    _empty = pa.table(
+        {
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "o_orderstatus": pa.array([], type=pa.string()),
+            "revenue": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def _attach(g: pa.Table) -> pa.Table:
+        is_data = g.column("is_data").to_numpy(zero_copy_only=False)
+        data_idx = np.nonzero(is_data)[0]
+        if len(data_idx) == 0 or is_data.all():
+            return _empty  # orphan lineitems / order without items: inner join
+        partial = g.column("cents_partial").to_numpy(zero_copy_only=False)
+        total = int(partial[~is_data].sum())
+        return pa.table(
+            {
+                "o_orderkey": pa.array([g.column("key")[0].as_py()], type=pa.int64()),
+                "o_orderstatus": pa.array(
+                    [g.column("status")[int(data_idx[0])].as_py()], type=pa.string()
+                ),
+                "revenue": pa.array([total / 100.0], type=pa.float64()),
+            }
+        )
+
+    return u.groupby("key").map_groups(_attach, batch_format="pyarrow")
+
+
 def top_orders_per_segment(sf_dir: str, n: int = 3):
     """Group-wise top-N (the window row_number()<=N shape the Dataset API
     lacks natively): top orders by price per market segment.  Scale trick:
@@ -2629,6 +2702,7 @@ QUERIES = {
     "user_funnel_stages": user_funnel_stages,
     "top_orders_per_segment": top_orders_per_segment,
     "distinct_users_by_type": distinct_users_by_type,
+    "order_lineitem_totals": order_lineitem_totals,
     "jaccard_neardup_exact": jaccard_neardup_exact_pairs,
     "knn_cosine_top10": knn_cosine_top10,
     "knn_cosine_lsh": knn_cosine_lsh,
@@ -2916,6 +2990,12 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY n_occurrences DESC, token
         LIMIT 20
+    """,
+    "order_lineitem_totals": """
+        SELECT o_orderkey, o_orderstatus,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_orderstatus
     """,
     "top_orders_per_segment": """
         SELECT segment, o_orderkey, o_totalprice FROM (
