@@ -1083,6 +1083,99 @@ def posting_lists(sf_dir: str, range_width: int = 200):
     return segs.groupby("token").map_groups(_merge, batch_format="pyarrow")
 
 
+def pagerank_hashgraph(sf_dir: str, iters: int = 5, damping: float = 0.85,
+                       fanout: int = 3):
+    """Distributed PageRank — the iterative-graph-algorithm family (the
+    crawl's natural ranking primitive).  Edges are FORMULA-derived
+    (``dst = (src·31 + j) mod N`` for j < fanout over the contiguous
+    doc-id space), so no edge table ships: each iteration is one
+    map_batches (each rank row emits its ``fanout`` contributions, dst
+    computed from src) + one groupby-sum + the teleport map.  Exactly the
+    shuffle count PageRank costs inherently — per iteration the exchange
+    carries fanout×N contribution rows, nothing else.  The oracle unrolls
+    the same ``iters`` iterations as CTE layers."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n = ds.count()
+
+    def _init(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "pr": pa.array(np.full(b.num_rows, 1.0 / n)),
+            }
+        )
+
+    def _zero(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "pr": pa.array(np.zeros(b.num_rows)),
+            }
+        )
+
+    ranks = ds.map_batches(_init, batch_format="pyarrow", zero_copy_batch=True)
+    zeros = ds.map_batches(_zero, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _contrib(b: pa.Table) -> pa.Table:
+        src = b.column("doc_id").to_numpy()
+        r = b.column("pr").to_numpy()
+        dst = np.concatenate([(src * 31 + j) % n for j in range(fanout)])
+        vals = np.tile(r / fanout, fanout)
+        return pa.table(
+            {
+                "doc_id": pa.array(dst, type=pa.int64()),
+                "pr": pa.array(vals, type=pa.float64()),
+            }
+        )
+
+    def _teleport(b: pa.Table) -> pa.Table:
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "pr": pa.array((1.0 - damping) / n + damping * s),
+            }
+        )
+
+    for _ in range(iters):
+        contribs = ranks.map_batches(
+            _contrib, batch_format="pyarrow", zero_copy_batch=True
+        )
+        summed = (
+            contribs.union(zeros)  # zeros guarantee every node a row
+            .groupby("doc_id")
+            .aggregate(Sum("pr", alias_name="s"))
+        )
+        ranks = summed.map_batches(
+            _teleport, batch_format="pyarrow", zero_copy_batch=True
+        )
+    return ranks
+
+
+def _sql_pagerank(iters: int = 5, damping: float = 0.85, fanout: int = 3) -> str:
+    """SQL twin of pagerank_hashgraph: the same iterations unrolled as CTE
+    layers (contribution groupby + teleport left-join per layer)."""
+    nn = "(SELECT count(*) FROM documents)"
+    js = ", ".join(f"({j})" for j in range(fanout))
+    layers = [f"r0 AS (SELECT doc_id, 1.0/{nn} AS pr FROM documents)"]
+    for t in range(iters):
+        layers.append(
+            f"""c{t} AS (
+    SELECT (r{t}.doc_id * 31 + j.j) % {nn} AS doc_id,
+           sum(r{t}.pr / {float(fanout)}) AS s
+    FROM r{t}, (VALUES {js}) AS j(j) GROUP BY 1
+)"""
+        )
+        layers.append(
+            f"""r{t + 1} AS (
+    SELECT d.doc_id, {1.0 - damping}/{nn} + {damping} * coalesce(c{t}.s, 0.0) AS pr
+    FROM documents d LEFT JOIN c{t} USING (doc_id)
+)"""
+        )
+    chain = ",\n".join(layers)
+    return f"WITH {chain}\nSELECT doc_id, pr FROM r{iters}\n"
+
+
 def unigram_logprob_scores(sf_dir: str):
     """CCNet-style language-model quality score, unigram stand-in: per doc,
     the mean −ln p(token) under the corpus unigram distribution (higher =
@@ -2697,6 +2790,7 @@ QUERIES = {
     "decontaminate_docs": decontaminate_docs,
     "vocab_topk": vocab_topk,
     "unigram_logprob_scores": unigram_logprob_scores,
+    "pagerank_hashgraph": pagerank_hashgraph,
     "posting_lists": posting_lists,
     "events_value_percentiles": events_value_percentiles,
     "user_funnel_stages": user_funnel_stages,
@@ -3033,6 +3127,7 @@ ORACLE_SQL = {
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
     """,
+    "pagerank_hashgraph": _sql_pagerank(),
     "unigram_logprob_scores": f"""
         WITH t AS (
             SELECT doc_id, {_SQL_TOKS} AS toks FROM documents

@@ -291,3 +291,32 @@ def test_unigram_logprob_scores_planted(ray_session, tmp_path):
     assert abs(got[1] - (-math.log(0.75))) < 1e-12   # common doc: low surprise
     assert abs(got[2] - (-math.log(0.25))) < 1e-12   # rare doc: high surprise
     assert got[2] > got[1]
+
+
+# ------------------------------------------------------------------ pagerank
+def test_pagerank_matches_dense_reference(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.pipelines.queries import pagerank_hashgraph
+
+    N, iters, d, fanout = 20, 5, 0.85, 3
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(range(N)), type=pa.int64()),
+                  "text": pa.array(["x"] * N)}),
+        tmp_path / "documents.parquet",
+    )
+    got = {r["doc_id"]: r["pr"] for r in pagerank_hashgraph(
+        str(tmp_path), iters=iters, damping=d, fanout=fanout).take_all()}
+
+    # dense single-machine reference of the same functional graph
+    r = np.full(N, 1.0 / N)
+    src = np.arange(N)
+    for _ in range(iters):
+        s = np.zeros(N)
+        for j in range(fanout):
+            np.add.at(s, (src * 31 + j) % N, r / fanout)
+        r = (1 - d) / N + d * s
+    for i in range(N):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # rank mass conserved
