@@ -133,9 +133,16 @@ QUERY_NAMES = [
     "knn_cosine_ivf",
     "dedup_keep_one",
     # round-3 additions: benchmark decontamination (broadcast n-gram set),
-    # pre-aggregated corpus vocabulary
+    # pre-aggregated corpus vocabulary, fact-fact aggregate join
+    # (tagged-union attach).  pagerank_hashgraph is deliberately NOT here:
+    # 5 synchronous iterations = 5 sequential all-to-all barriers, so at
+    # bench scale its wall time is 5x Ray's fixed shuffle launch latency
+    # (~24 s for 500 rows) — a measurement of the scheduler, not the
+    # operator; the per-iteration data cost it amortizes at real scale is
+    # what matters and is covered by its oracle + dense-reference tests.
     "decontaminate_docs",
     "vocab_topk",
+    "order_lineitem_totals",
 ]
 
 

@@ -1093,7 +1093,13 @@ def pagerank_hashgraph(sf_dir: str, iters: int = 5, damping: float = 0.85,
     computed from src) + one groupby-sum + the teleport map.  Exactly the
     shuffle count PageRank costs inherently — per iteration the exchange
     carries fanout×N contribution rows, nothing else.  The oracle unrolls
-    the same ``iters`` iterations as CTE layers."""
+    the same ``iters`` iterations as CTE layers.
+
+    Latency note: iterations are synchronous barriers, so toy-scale wall
+    time is ``iters`` × Ray's fixed shuffle launch cost (~24 s for 500
+    rows on this VM) — that constant amortizes against the per-iteration
+    data cost at real scale, which is why this query is excluded from the
+    bench roster (bench.py QUERY_NAMES comment)."""
     ds = _read(sf_dir, "documents", columns=["doc_id"])
     n = ds.count()
 
