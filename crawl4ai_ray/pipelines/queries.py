@@ -911,6 +911,89 @@ def distinct_users_by_type(sf_dir: str):
     return uniq.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
+def events_value_zscores(sf_dir: str):
+    """Per-group standardization (z = (x − μ_g)/σ_g for each event against
+    its type's stats) — the feature-engineering normalize-by-group shape:
+    one tiny groupby computes per-type sum/sumsq/count partials
+    (pre-combined per batch), the resulting stats table broadcasts, and
+    scoring is a stateless map.  Sample stddev (ddof=1) to match SQL
+    stddev_samp; z rounded to 4dp on both sides (float summation-order
+    drift is ~1e-12 relative, far inside the rounding)."""
+    from ..functions.numeric import duck_round
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        types = b.column("event_type").to_pylist()
+        vals = b.column("value").to_numpy()
+        agg: dict[str, list[float]] = {}
+        for t, v in zip(types, vals):
+            a = agg.setdefault(t, [0.0, 0.0, 0])
+            a[0] += v
+            a[1] += v * v
+            a[2] += 1
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "event_type": pa.array(keys, type=pa.string()),
+                "s": pa.array([agg[k][0] for k in keys], type=pa.float64()),
+                "ss": pa.array([agg[k][1] for k in keys], type=pa.float64()),
+                "cnt": pa.array([agg[k][2] for k in keys], type=pa.int64()),
+            }
+        )
+
+    stats: dict[str, tuple[float, float]] = {}
+    acc: dict[str, list[float]] = {}
+    for batch in (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+            Sum("cnt", alias_name="cnt"),
+        )
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        for t, s, ss, cnt in zip(
+            batch.column("event_type").to_pylist(),
+            batch.column("s").to_pylist(),
+            batch.column("ss").to_pylist(),
+            batch.column("cnt").to_pylist(),
+        ):
+            acc[t] = [s, ss, cnt]
+    for t, (s, ss, cnt) in acc.items():
+        mean = s / cnt
+        var = (ss - s * s / cnt) / (cnt - 1) if cnt > 1 else 0.0
+        stats[t] = (mean, float(np.sqrt(max(var, 0.0))))
+    ref = ray.put(stats)
+
+    class _Z:
+        def __init__(self, ref):
+            self.stats = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            zs = []
+            for t, v in zip(
+                b.column("event_type").to_pylist(), b.column("value").to_numpy()
+            ):
+                mean, std = self.stats[t]
+                zs.append(float(duck_round((v - mean) / std, 4)) if std else 0.0)
+            return pa.table(
+                {
+                    "event_id": b.column("event_id"),
+                    "z": pa.array(zs, type=pa.float64()),
+                }
+            )
+
+    return ds.map_batches(
+        _Z,
+        fn_constructor_kwargs=dict(ref=ref),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def user_funnel_stages(sf_dir: str):
     """Funnel analysis: per user, how far through view → click → purchase
     did they get (stage 0–3), matching events in strict timestamp order.
@@ -2799,6 +2882,7 @@ QUERIES = {
     "pagerank_hashgraph": pagerank_hashgraph,
     "posting_lists": posting_lists,
     "events_value_percentiles": events_value_percentiles,
+    "events_value_zscores": events_value_zscores,
     "user_funnel_stages": user_funnel_stages,
     "top_orders_per_segment": top_orders_per_segment,
     "distinct_users_by_type": distinct_users_by_type,
@@ -3110,6 +3194,16 @@ ORACLE_SQL = {
     "distinct_users_by_type": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
+    """,
+    "events_value_zscores": """
+        WITH st AS (
+            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id,
+               CASE WHEN st.sd IS NULL OR st.sd = 0 THEN 0.0
+                    ELSE round((e.value - st.mu) / st.sd, 4) END AS z
+        FROM events e JOIN st USING (event_type)
     """,
     "user_funnel_stages": """
         WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -15,6 +15,13 @@ budget and comparable space; the cost is a bounded insert-failure
 probability near full load, absorbed by a small exact stash (never a false
 negative, count-bounded, checkpointed with the table).
 
+SET semantics, not multiset: ``add_batch`` stores at most one fingerprint
+copy per key (mirroring BloomFilter's already-present contract, which
+SeenShard's new-URL counting relies on), so ``delete_batch`` removes the
+key entirely — re-adding the same key N times then deleting once leaves it
+absent.  This differs from the paper's duplicate-tolerant inserts, which
+support bounded multisets; a seen-set has no use for them.
+
 Membership checks are fully vectorized (two gathers per batch); inserts
 walk the per-key kick loop in Python — fine for shard-actor batches, the
 same per-shard RPC granularity the bloom path uses.
