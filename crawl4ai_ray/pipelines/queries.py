@@ -911,6 +911,33 @@ def distinct_users_by_type(sf_dir: str):
     return uniq.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
+def user_retention_cohorts(sf_dir: str):
+    """Cohort retention: users grouped by their first active day, counted
+    per (cohort_day, day_offset) — the standard retention-curve input.
+    One per-user group pass computes the cohort day and the distinct day
+    offsets (group = one user's events, bounded), then a tiny groupby
+    counts users per cell; no user-dimension table ships anywhere."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _offsets(group: pa.Table) -> pa.Table:
+        days = group.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        d0 = int(days.min())
+        offs = np.unique(days - d0)
+        return pa.table(
+            {
+                "cohort_day": pa.array(
+                    np.full(len(offs), d0, dtype=np.int32), type=pa.date32()
+                ),
+                "day_offset": pa.array(offs, type=pa.int64()),
+            }
+        )
+
+    cells = ds.groupby("user_id").map_groups(_offsets, batch_format="pyarrow")
+    return cells.groupby(["cohort_day", "day_offset"]).aggregate(
+        Count(alias_name="n_users")
+    )
+
+
 def events_value_zscores(sf_dir: str):
     """Per-group standardization (z = (x − μ_g)/σ_g for each event against
     its type's stats) — the feature-engineering normalize-by-group shape:
@@ -2883,6 +2910,7 @@ QUERIES = {
     "posting_lists": posting_lists,
     "events_value_percentiles": events_value_percentiles,
     "events_value_zscores": events_value_zscores,
+    "user_retention_cohorts": user_retention_cohorts,
     "user_funnel_stages": user_funnel_stages,
     "top_orders_per_segment": top_orders_per_segment,
     "distinct_users_by_type": distinct_users_by_type,
@@ -3194,6 +3222,18 @@ ORACLE_SQL = {
     "distinct_users_by_type": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
+    """,
+    "user_retention_cohorts": """
+        WITH f AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+        ),
+        o AS (
+            SELECT DISTINCT e.user_id, f.d0,
+                   datediff('day', f.d0, CAST(e.ts AS DATE)) AS day_offset
+            FROM events e JOIN f USING (user_id)
+        )
+        SELECT d0 AS cohort_day, day_offset, count(*) AS n_users
+        FROM o GROUP BY d0, day_offset
     """,
     "events_value_zscores": """
         WITH st AS (
