@@ -1193,6 +1193,84 @@ def posting_lists(sf_dir: str, range_width: int = 200):
     return segs.groupby("token").map_groups(_merge, batch_format="pyarrow")
 
 
+def doc_top_keywords(sf_dir: str, k: int = 3):
+    """Per-document TF-IDF keyword extraction (top-k tokens by
+    tf·ln(N/df), comma-joined): the DF pass emits per-batch distinct
+    (token, doc) partials and aggregates to the vocab-sized DF table,
+    which broadcasts; scoring is then a stateless per-doc map.  Ties
+    break by token asc; docs with no tokens are omitted (both sides).
+    Same float-comparison fragility class as every ln-scoring oracle:
+    distinct (tf, df) pairs landing within 1 ulp could rank-flip — never
+    observed, and exact (tf, df) ties order identically."""
+    from collections import Counter
+
+    from ..functions.textstats import tokens as _tokens
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _df_partial(b: pa.Table) -> pa.Table:
+        seen = set()
+        for did, t in zip(
+            b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+        ):
+            for tok in set(_tokens((t or "").lower())):
+                seen.add((tok, did))
+        return pa.table(
+            {
+                "token": pa.array([p[0] for p in seen], type=pa.string()),
+                "doc_id": pa.array([p[1] for p in seen], type=pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(_df_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _one(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    uniq = pairs.groupby(["token", "doc_id"]).map_groups(_one, batch_format="pyarrow")
+    df_tbl = uniq.groupby("token").aggregate(Count(alias_name="df"))
+    df: dict[str, int] = {}
+    for batch in df_tbl.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for tok, d in zip(batch.column("token").to_pylist(), batch.column("df").to_pylist()):
+            df[tok] = int(d)
+    n = ds.count()
+    idf = {t: float(np.log(n / d)) for t, d in df.items()}
+    ref = ray.put(idf)
+
+    class _Keywords:
+        def __init__(self, ref, k: int):
+            self.idf = ray.get(ref)
+            self.k = k
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids, kws = [], []
+            for did, t in zip(
+                b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+            ):
+                tf = Counter(_tokens((t or "").lower()))
+                if not tf:
+                    continue  # token-less docs omitted (oracle join drops them)
+                scored = sorted(
+                    ((-(c * self.idf[tok]), tok) for tok, c in tf.items())
+                )
+                ids.append(did)
+                kws.append(",".join(tok for _, tok in scored[: self.k]))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "keywords": pa.array(kws, type=pa.string()),
+                }
+            )
+
+    return ds.map_batches(
+        _Keywords,
+        fn_constructor_kwargs=dict(ref=ref, k=k),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def pagerank_hashgraph(sf_dir: str, iters: int = 5, damping: float = 0.85,
                        fanout: int = 3):
     """Distributed PageRank — the iterative-graph-algorithm family (the
@@ -2906,6 +2984,7 @@ QUERIES = {
     "decontaminate_docs": decontaminate_docs,
     "vocab_topk": vocab_topk,
     "unigram_logprob_scores": unigram_logprob_scores,
+    "doc_top_keywords": doc_top_keywords,
     "pagerank_hashgraph": pagerank_hashgraph,
     "posting_lists": posting_lists,
     "events_value_percentiles": events_value_percentiles,
@@ -3266,6 +3345,25 @@ ORACLE_SQL = {
         LEFT JOIN s1 USING (user_id)
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
+    """,
+    "doc_top_keywords": f"""
+        WITH t AS (
+            SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+        ),
+        occ AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df FROM occ GROUP BY token),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM occ GROUP BY doc_id, token),
+        ranked AS (
+            SELECT tf.doc_id, tf.token,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / df.df) DESC,
+                                tf.token
+                   ) AS rn
+            FROM tf JOIN df USING (token)
+        )
+        SELECT doc_id, string_agg(token, ',' ORDER BY rn) AS keywords
+        FROM ranked WHERE rn <= 3 GROUP BY doc_id
     """,
     "pagerank_hashgraph": _sql_pagerank(),
     "unigram_logprob_scores": f"""
