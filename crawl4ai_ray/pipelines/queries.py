@@ -2253,6 +2253,53 @@ def media_catalog_crawl(sf_dir: str):
 
 # -------------------------------------------------------------------- crawl
 
+def crawl_pagerank_demo(sf_dir: str):
+    """PageRank over the REAL crawl link graph (rows-only — inputs are the
+    synthetic sites, not the parquet tables): crawl a small corpus, lift
+    (url → href) edges from the extracted links, rank with
+    stages/graphrank.py::pagerank_edges (join-free tagged-union
+    iterations), return the top 20 pages.  Seed/hub pages rank highest —
+    asserted in tests; the formula-graph twin `pagerank_hashgraph`
+    carries the SQL oracle for the math."""
+    import tempfile
+
+    from .crawl import CrawlConfig, CrawlEngine
+    from ..sources.corpus import CorpusParams, SyntheticTransport, robots_map
+    from ..stages.graphrank import pagerank_edges
+
+    params = CorpusParams(n_hosts=3, pages_per_host=40, seed=42, private_every=9)
+    cfg = CrawlConfig(
+        max_depth=5,
+        num_seen_shards=2,
+        num_politeness_shards=1,
+        fetch_batch_size=32,
+        deterministic=True,
+    )
+    engine = CrawlEngine(
+        SyntheticTransport(params), cfg, tempfile.mkdtemp(prefix="crawl_pr_"),
+        robots_bodies=robots_map(params),
+    )
+    engine.run(params.seeds())
+    docs = engine.docs_dataset()
+
+    def _edges(b: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for url, links in zip(b.column("url").to_pylist(), b.column("links").to_pylist()):
+            for ln in links or []:
+                src.append(url)
+                dst.append(ln["href"])
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.string()),
+                "dst": pa.array(dst, type=pa.string()),
+            }
+        )
+
+    edges = docs.map_batches(_edges, batch_format="pyarrow", zero_copy_batch=True)
+    ranks = pagerank_edges(edges, iters=5)
+    return ranks.sort(["pr", "node"], descending=[True, False]).limit(20)
+
+
 def crawl_bfs_demo(sf_dir: str):
     """The flagship: full BFS crawl of a synthetic site (parity mode),
     returning one row per crawled page (rows-only check — the real
@@ -3023,6 +3070,7 @@ QUERIES = {
     "link_preview_demo": link_preview_demo,
     "media_catalog_crawl": media_catalog_crawl,
     "crawl_bfs_demo": crawl_bfs_demo,
+    "crawl_pagerank_demo": crawl_pagerank_demo,
 }
 
 ORACLE_SQL = {

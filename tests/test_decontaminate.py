@@ -320,3 +320,41 @@ def test_pagerank_matches_dense_reference(ray_session, tmp_path):
     for i in range(N):
         assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
     assert abs(sum(got.values()) - 1.0) < 1e-9  # rank mass conserved
+
+
+# --------------------------------------------------------- edge-table pagerank
+def test_pagerank_edges_matches_dense_reference(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from crawl4ai_ray.stages.graphrank import pagerank_edges
+
+    # small arbitrary digraph with a sink (node "d") and a hub ("a")
+    E = [("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"), ("c", "d"), ("e", "a")]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in E]),
+                "dst": pa.array([d for _, d in E]),
+            }
+        )
+    )
+    got = {r["node"]: r["pr"] for r in pagerank_edges(edges, iters=5).take_all()}
+
+    nodes = sorted({x for e in E for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    N, d = len(nodes), 0.85
+    out = np.zeros(N)
+    for s, _ in E:
+        out[idx[s]] += 1
+    r = np.full(N, 1.0 / N)
+    for _ in range(5):
+        s_ = np.zeros(N)
+        for a, b in E:
+            s_[idx[b]] += r[idx[a]] / out[idx[a]]
+        r = (1 - d) / N + d * s_  # sink mass leaks, matching the operator
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, (v, got[v], r[idx[v]])
+    # hub collects the most rank; every node keeps the teleport floor
+    assert max(got, key=got.get) == "a"
+    assert all(p >= (1 - d) / N - 1e-15 for p in got.values())
