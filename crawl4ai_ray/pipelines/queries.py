@@ -1193,6 +1193,77 @@ def posting_lists(sf_dir: str, range_width: int = 200):
     return segs.groupby("token").map_groups(_merge, batch_format="pyarrow")
 
 
+def bigram_collocations(sf_dir: str, min_count: int = 5, k: int = 20):
+    """Corpus collocations: top-k token bigrams by pointwise mutual
+    information, PMI = ln(p(ab)) − ln(p(a)) − ln(p(b)), with a
+    min-count floor (the classic collocation-extraction recipe).  Bigram
+    counts aggregate via per-batch Counter partials (the vocab_topk
+    combiner shape); the vocab-sized unigram distribution broadcasts for
+    stateless scoring.  Ties (identical count triples) break by bigram
+    asc — a total order shared with the oracle."""
+    from collections import Counter
+
+    from ..functions.numeric import duck_round
+    from ..functions.textstats import tokens as _tokens
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def _partials(b: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            toks = _tokens((t or "").lower())
+            uni.update(toks)
+            bi.update(" ".join((toks[i], toks[i + 1])) for i in range(len(toks) - 1))
+        keys = list(uni.keys()) + list(bi.keys())
+        kinds = [0] * len(uni) + [1] * len(bi)
+        vals = list(uni.values()) + list(bi.values())
+        return pa.table(
+            {
+                "gram": pa.array(keys, type=pa.string()),
+                "kind": pa.array(kinds, type=pa.int8()),
+                "n": pa.array(vals, type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["kind", "gram"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    uni: dict[str, int] = {}
+    bi: dict[str, int] = {}
+    for batch in counts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for kind, gram, n in zip(
+            batch.column("kind").to_pylist(),
+            batch.column("gram").to_pylist(),
+            batch.column("n").to_pylist(),
+        ):
+            (uni if kind == 0 else bi)[gram] = int(n)
+    tot_u = sum(uni.values())
+    tot_b = sum(bi.values())
+    rows = []
+    for g, c in bi.items():
+        if c < min_count:
+            continue
+        a, b = g.split(" ", 1)
+        pmi = float(
+            np.log(c / tot_b) - np.log(uni[a] / tot_u) - np.log(uni[b] / tot_u)
+        )
+        rows.append((g, c, pmi))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "bigram": pa.array([r[0] for r in rows], type=pa.string()),
+            "n": pa.array([r[1] for r in rows], type=pa.int64()),
+            "pmi": pa.array(
+                [float(duck_round(r[2], 4)) for r in rows], type=pa.float64()
+            ),
+        }
+    )
+
+
 def doc_top_keywords(sf_dir: str, k: int = 3):
     """Per-document TF-IDF keyword extraction (top-k tokens by
     tf·ln(N/df), comma-joined): the DF pass emits per-batch distinct
@@ -3032,6 +3103,7 @@ QUERIES = {
     "vocab_topk": vocab_topk,
     "unigram_logprob_scores": unigram_logprob_scores,
     "doc_top_keywords": doc_top_keywords,
+    "bigram_collocations": bigram_collocations,
     "pagerank_hashgraph": pagerank_hashgraph,
     "posting_lists": posting_lists,
     "events_value_percentiles": events_value_percentiles,
@@ -3393,6 +3465,35 @@ ORACLE_SQL = {
         LEFT JOIN s1 USING (user_id)
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
+    """,
+    "bigram_collocations": f"""
+        WITH t AS (
+            SELECT {_SQL_TOKS} AS toks FROM documents
+        ),
+        u AS (SELECT unnest(toks) AS g FROM t),
+        uc AS (SELECT g, count(*) AS n FROM u GROUP BY g),
+        b AS (
+            SELECT unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END) AS g
+            FROM t
+        ),
+        bc AS (SELECT g, count(*) AS n FROM b GROUP BY g),
+        tu AS (SELECT sum(n) AS s FROM uc),
+        tb AS (SELECT sum(n) AS s FROM bc),
+        scored AS (
+            SELECT bc.g AS bigram, bc.n AS n,
+                   ln(bc.n * 1.0 / tb.s) - ln(ua.n * 1.0 / tu.s)
+                       - ln(ub.n * 1.0 / tu.s) AS raw
+            FROM bc
+            JOIN uc ua ON ua.g = string_split(bc.g, ' ')[1]
+            JOIN uc ub ON ub.g = string_split(bc.g, ' ')[2],
+            tu, tb
+            WHERE bc.n >= 5
+        )
+        SELECT bigram, n, round(raw, 4) AS pmi
+        FROM scored ORDER BY raw DESC, bigram LIMIT 20
     """,
     "doc_top_keywords": f"""
         WITH t AS (
