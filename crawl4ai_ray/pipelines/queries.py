@@ -667,10 +667,7 @@ def neardup_component_sizes(sf_dir: str):
     before committing a keep-one pass over a new corpus (a giant component
     usually means boilerplate, not true duplication).  Two tiny groupbys
     over the component labels; nothing corpus-sized moves."""
-    from ..stages.dedup import connected_components, minhash_dedup_pairs
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    comps = connected_components(minhash_dedup_pairs(ds, threshold=0.5))
+    comps = neardup_components(sf_dir)  # same pipeline the oracle CTE mirrors
     sizes = comps.groupby("component_id").aggregate(Count(alias_name="size"))
     return sizes.groupby("size").aggregate(Count(alias_name="n_components"))
 
@@ -853,8 +850,9 @@ def top_orders_per_segment(sf_dir: str, n: int = 3):
             self.seg_of = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            # .get → drop unmatched custkeys = the oracle's inner-join row drop
             seg = pa.array(
-                [self.seg_of[c] for c in b.column("o_custkey").to_pylist()],
+                [self.seg_of.get(c) for c in b.column("o_custkey").to_pylist()],
                 type=pa.string(),
             )
             t = pa.table(
@@ -863,7 +861,7 @@ def top_orders_per_segment(sf_dir: str, n: int = 3):
                     "o_orderkey": b.column("o_orderkey"),
                     "o_totalprice": b.column("o_totalprice"),
                 }
-            )
+            ).filter(pc.is_valid(seg))
             parts = []
             for s in pc.unique(seg).to_pylist():
                 parts.append(_topn(t.filter(pc.equal(t.column("segment"), s))))
@@ -901,12 +899,10 @@ def distinct_users_by_type(sf_dir: str):
         )
 
     pairs = ds.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True)
-
-    def _one(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
-    uniq = pairs.groupby(["event_type", "user_id"]).map_groups(
-        _one, batch_format="pyarrow"
+    # collapse cross-batch duplicates with a pre-combinable aggregate (one
+    # row per distinct pair, no per-group Python), then count per type
+    uniq = pairs.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_n")
     )
     return uniq.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
@@ -1196,11 +1192,14 @@ def posting_lists(sf_dir: str, range_width: int = 200):
 def bigram_collocations(sf_dir: str, min_count: int = 5, k: int = 20):
     """Corpus collocations: top-k token bigrams by pointwise mutual
     information, PMI = ln(p(ab)) − ln(p(a)) − ln(p(b)), with a
-    min-count floor (the classic collocation-extraction recipe).  Bigram
-    counts aggregate via per-batch Counter partials (the vocab_topk
-    combiner shape); the vocab-sized unigram distribution broadcasts for
-    stateless scoring.  Ties (identical count triples) break by bigram
-    asc — a total order shared with the oracle."""
+    min-count floor (the classic collocation-extraction recipe).  Counts
+    aggregate via per-batch Counter partials (the vocab_topk combiner
+    shape); the min-count filter runs DISTRIBUTED on the final counts, so
+    the driver only ever collects the vocab-sized unigram table plus the
+    above-threshold bigrams — never the corpus-scaled hapax tail (whose
+    mass still reaches the PMI denominators via a separate kind-total
+    aggregate).  Ties (identical count triples) break by bigram asc — a
+    total order shared with the oracle."""
     from collections import Counter
 
     from ..functions.numeric import duck_round
@@ -1230,18 +1229,35 @@ def bigram_collocations(sf_dir: str, min_count: int = 5, k: int = 20):
         ds.map_batches(_partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["kind", "gram"])
         .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # branches below reuse it: totals + filtered collect
     )
+    # kind totals over ALL grams (the PMI denominators) — computed
+    # distributed BEFORE the tail drop so dropping hapaxes can't skew them
+    totals = {
+        int(r["kind"]): int(r["n"])
+        for r in counts.groupby("kind").aggregate(Sum("n", alias_name="n")).take_all()
+    }
+    tot_u, tot_b = totals.get(0, 0), totals.get(1, 0)
+
+    def _drop_hapax_tail(b: pa.Table) -> pa.Table:
+        # counts are final post-groupby: drop sub-threshold bigrams HERE so
+        # the driver never collects the corpus-scaled hapax long tail
+        # (unigrams — kind 0 — are true vocab and all pass through)
+        kind = b.column("kind").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((kind == 0) | (n >= min_count)))
+
     uni: dict[str, int] = {}
     bi: dict[str, int] = {}
-    for batch in counts.iter_batches(batch_size=None, batch_format="pyarrow"):
+    for batch in counts.map_batches(
+        _drop_hapax_tail, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
         for kind, gram, n in zip(
             batch.column("kind").to_pylist(),
             batch.column("gram").to_pylist(),
             batch.column("n").to_pylist(),
         ):
             (uni if kind == 0 else bi)[gram] = int(n)
-    tot_u = sum(uni.values())
-    tot_b = sum(bi.values())
     rows = []
     for g, c in bi.items():
         if c < min_count:
@@ -1294,12 +1310,10 @@ def doc_top_keywords(sf_dir: str, k: int = 3):
         )
 
     pairs = ds.map_batches(_df_partial, batch_format="pyarrow", zero_copy_batch=True)
-
-    def _one(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
-    uniq = pairs.groupby(["token", "doc_id"]).map_groups(_one, batch_format="pyarrow")
-    df_tbl = uniq.groupby("token").aggregate(Count(alias_name="df"))
+    # (token, doc) pairs are already globally unique — each doc lives in
+    # exactly one batch and _df_partial set-dedups within it — so DF is
+    # one count per token, no pair-dedup shuffle needed
+    df_tbl = pairs.groupby("token").aggregate(Count(alias_name="df"))
     df: dict[str, int] = {}
     for batch in df_tbl.iter_batches(batch_size=None, batch_format="pyarrow"):
         for tok, d in zip(batch.column("token").to_pylist(), batch.column("df").to_pylist()):

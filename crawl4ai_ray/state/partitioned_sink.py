@@ -44,10 +44,27 @@ def completed_partitions(root: str, col: str) -> set[str]:
     return done
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
 def write_partitioned_resumable(ds, root: str, col: str) -> dict:
     """Write ``ds`` under ``root`` partitioned by ``col``, skipping
     partitions a previous (possibly killed) run completed.  Returns
-    ``{"skipped": [...], "written": [...]}``."""
+    ``{"skipped": [...], "written": [...]}``.
+
+    ``col`` must be a STRING column (enforced): the skip filter compares
+    row values against hive directory names, and only strings (plus the
+    explicit hive null token) round-trip that encoding losslessly — a
+    float or date column could re-write rows into an already-marked
+    partition and break exactly-once."""
+    import pyarrow as _pa
+
+    field = ds.schema().base_schema.field(col)
+    if not (_pa.types.is_string(field.type) or _pa.types.is_large_string(field.type)):
+        raise TypeError(
+            f"partition column {col!r} must be string-typed for resumable "
+            f"writes (got {field.type}); cast it before the sink"
+        )
     os.makedirs(root, exist_ok=True)
     done = completed_partitions(root, col)
 
@@ -60,7 +77,10 @@ def write_partitioned_resumable(ds, root: str, col: str) -> dict:
     if done:
         def _skip_done(b: pa.Table) -> pa.Table:
             mask = pa.array(
-                [str(v) not in done for v in b.column(col).to_pylist()]
+                [
+                    (_HIVE_NULL if v is None else v) not in done
+                    for v in b.column(col).to_pylist()
+                ]
             )
             return b.filter(mask)
 

@@ -438,3 +438,17 @@ def test_seen_shard_cuckoo_rejects_unsatisfiable_error_rate(ray_session):
         raise AssertionError("expected constructor ValueError")
     except ray.exceptions.RayActorError as e:
         assert "unsatisfiable" in str(e)
+
+
+def test_cuckoo_set_semantics_delete_removes_entirely():
+    """Docstring contract: add the same key N times (deduped), delete
+    once → key absent.  Single key, so no FP collision can mask it."""
+    from crawl4ai_ray.state.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(capacity=64)
+    cf.add_batch(["the-key", "the-key"])
+    cf.add_batch(["the-key"])
+    assert cf.count == 1
+    assert cf.delete_batch(["the-key"])[0]
+    assert not cf.contains_batch(["the-key"])[0]
+    assert cf.count == 0
