@@ -1049,6 +1049,54 @@ def user_funnel_stages(sf_dir: str):
     return ds.groupby("user_id").map_groups(_stage, batch_format="pyarrow")
 
 
+def monthly_revenue_ma3(sf_dir: str):
+    """Frame-based window aggregate: monthly order revenue with a
+    3-month trailing moving average (ROWS 2 PRECEDING).  The monthly
+    rollup is a distributed cents-exact partial aggregation (per-batch
+    combine, then a months-sized groupby); the moving average runs over
+    the months-sized result — bounded by the calendar, not the corpus —
+    which is the honest place for a sequential window frame."""
+    from collections import Counter
+
+    from ..functions.numeric import cents, duck_round
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        months = [d.date().replace(day=1) for d in b.column("o_orderdate").to_pylist()]
+        c = cents(b.column("o_totalprice").to_numpy())
+        agg: Counter = Counter()
+        for m, v in zip(months, c):
+            agg[m] += int(v)
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "month": pa.array(keys, type=pa.date32()),
+                "rev_c": pa.array([agg[k] for k in keys], type=pa.int64()),
+            }
+        )
+
+    monthly = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("month")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .take_all()  # months-sized (a few dozen rows) — bounded driver finalize
+    )
+    monthly.sort(key=lambda r: r["month"])
+    revs = [r["rev_c"] / 100.0 for r in monthly]
+    ma3 = [
+        float(duck_round(sum(revs[max(0, i - 2) : i + 1]) / len(revs[max(0, i - 2) : i + 1]), 2))
+        for i in range(len(revs))
+    ]
+    return pa.table(
+        {
+            "month": pa.array([r["month"] for r in monthly], type=pa.date32()),
+            "revenue": pa.array(revs, type=pa.float64()),
+            "ma3": pa.array(ma3, type=pa.float64()),
+        }
+    )
+
+
 def events_value_percentiles(sf_dir: str):
     """Exact interpolated percentiles (p50/p95/p99 of `value` per
     event_type) via distributed histogram aggregation — the scale-correct
@@ -3121,6 +3169,7 @@ QUERIES = {
     "pagerank_hashgraph": pagerank_hashgraph,
     "posting_lists": posting_lists,
     "events_value_percentiles": events_value_percentiles,
+    "monthly_revenue_ma3": monthly_revenue_ma3,
     "events_value_zscores": events_value_zscores,
     "user_retention_cohorts": user_retention_cohorts,
     "user_funnel_stages": user_funnel_stages,
@@ -3447,6 +3496,18 @@ ORACLE_SQL = {
         )
         SELECT d0 AS cohort_day, day_offset, count(*) AS n_users
         FROM o GROUP BY d0, day_offset
+    """,
+    "monthly_revenue_ma3": """
+        WITH m AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+            FROM orders GROUP BY 1
+        )
+        SELECT month, rev_c / 100.0 AS revenue,
+               round(avg(rev_c / 100.0) OVER (
+                   ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ), 2) AS ma3
+        FROM m
     """,
     "events_value_zscores": """
         WITH st AS (
