@@ -934,6 +934,78 @@ def user_retention_cohorts(sf_dir: str):
     )
 
 
+_CORR_TS_SHIFT_US = 1_704_067_200_000_000  # 2024-01-01 epoch µs
+
+
+def events_value_ts_corr(sf_dir: str):
+    """Per-group Pearson correlation (value vs event time) — the
+    two-variable statistical aggregate: per-batch moment partials
+    (n, Σx, Σy, Σx², Σy², Σxy) combine under one tiny groupby, the
+    group-count-sized result finalizes at the driver.  Timestamps are
+    shifted to a 2024 origin before squaring (correlation is
+    shift-invariant; raw epoch-µs squares would burn ~6 digits of double
+    precision to cancellation — the shift keeps the naive-sums formula
+    as stable as the oracle's streaming covariance)."""
+    from ..functions.numeric import duck_round
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def _moments(b: pa.Table) -> pa.Table:
+        types = b.column("event_type").to_pylist()
+        x = b.column("value").to_numpy()
+        y = (b.column("ts").cast(pa.int64()).to_numpy() - _CORR_TS_SHIFT_US) / 1e6
+        agg: dict[str, np.ndarray] = {}
+        for t in set(types):
+            mask = np.fromiter((tt == t for tt in types), dtype=bool, count=len(types))
+            xs, ys = x[mask], y[mask]
+            agg[t] = np.array(
+                [len(xs), xs.sum(), ys.sum(), (xs * xs).sum(), (ys * ys).sum(), (xs * ys).sum()]
+            )
+        keys = sorted(agg)
+        cols = np.array([agg[k] for k in keys])
+        return pa.table(
+            {
+                "event_type": pa.array(keys, type=pa.string()),
+                "n": pa.array(cols[:, 0], type=pa.float64()),
+                "sx": pa.array(cols[:, 1], type=pa.float64()),
+                "sy": pa.array(cols[:, 2], type=pa.float64()),
+                "sxx": pa.array(cols[:, 3], type=pa.float64()),
+                "syy": pa.array(cols[:, 4], type=pa.float64()),
+                "sxy": pa.array(cols[:, 5], type=pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_moments, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .take_all()  # group-count-sized
+    )
+    types, corrs = [], []
+    for r in sorted(agg, key=lambda r: r["event_type"]):
+        n = r["n"]
+        cov = r["sxy"] - r["sx"] * r["sy"] / n
+        vx = r["sxx"] - r["sx"] ** 2 / n
+        vy = r["syy"] - r["sy"] ** 2 / n
+        types.append(r["event_type"])
+        corrs.append(
+            float(duck_round(cov / np.sqrt(vx * vy), 4)) if vx > 0 and vy > 0 else None
+        )
+    return pa.table(
+        {
+            "event_type": pa.array(types, type=pa.string()),
+            "corr_value_time": pa.array(corrs, type=pa.float64()),
+        }
+    )
+
+
 def events_value_zscores(sf_dir: str):
     """Per-group standardization (z = (x − μ_g)/σ_g for each event against
     its type's stats) — the feature-engineering normalize-by-group shape:
@@ -3170,6 +3242,7 @@ QUERIES = {
     "posting_lists": posting_lists,
     "events_value_percentiles": events_value_percentiles,
     "monthly_revenue_ma3": monthly_revenue_ma3,
+    "events_value_ts_corr": events_value_ts_corr,
     "events_value_zscores": events_value_zscores,
     "user_retention_cohorts": user_retention_cohorts,
     "user_funnel_stages": user_funnel_stages,
@@ -3496,6 +3569,10 @@ ORACLE_SQL = {
         )
         SELECT d0 AS cohort_day, day_offset, count(*) AS n_users
         FROM o GROUP BY d0, day_offset
+    """,
+    "events_value_ts_corr": """
+        SELECT event_type, round(corr(value, epoch(ts)), 4) AS corr_value_time
+        FROM events GROUP BY event_type
     """,
     "monthly_revenue_ma3": """
         WITH m AS (
