@@ -11,9 +11,10 @@ is the scale-side answer.
 
 ``capped_group_pairs`` is an EXACT decomposition, not a lossy cap:
 
-  1. the banded table materializes once and a tiny ids-only
-     ``groupby(band).count()`` finds the oversized keys — by definition of
-     skew there are few, so the driver holds only those;
+  1. the banded table materializes once and a PROBE finds the oversized
+     keys — by definition of skew there are few, so the driver holds only
+     those (see "oversize probe" below: no extra all-to-all in the common
+     regime);
   2. **no oversized keys (the overwhelmingly common case): the pipeline is
      byte-identical to the naive shape** — one groupby, pairs emitted
      directly in the group task, no extra shuffle;
@@ -21,10 +22,34 @@ is the scale-side answer.
      rows hash-chunk into m = ceil(n / max_bucket) chunks, and every
      unordered chunk pair (i ≤ j) becomes its own group task (task key =
      literal band key + chunk ids — collision-free).  Task (i,j) emits the
-     position-ordered pairs filtered to cross-chunk (or all pairs when
-     i == j), so the union over tasks is exactly the triangle of the bucket
-     with each pair in exactly one task.  Normal buckets ride the same
-     groupby under their literal band key with chunk = -1.
+     position-ordered pairs filtered to cross-chunk when i != j (the
+     expected pair is parsed from the task key, NOT inferred from the chunk
+     labels present — so a task whose chunk-i side hashed empty emits
+     nothing instead of duplicating task (j,j)'s intra pairs), or all pairs
+     when i == j.  The union over tasks is exactly the triangle of the
+     bucket with each pair in exactly one task.  Normal buckets ride the
+     same groupby under their literal band key with chunk = -1.
+
+Oversize probe (round-4 redesign — replaces a full ``groupby(keys)`` size
+scan that paid a second all-to-all over every banded row even when nothing
+was skewed):
+
+* **bounded-block regime** (``num_blocks × floor_slack ≤ max_bucket``, the
+  bench / single-node case): ONE shuffle-free counting pass.  Each block
+  emits per-key partial counts ≥ f where f = max_bucket // num_blocks + 1;
+  a key never reaching f in any block has n ≤ (f-1)·num_blocks ≤
+  max_bucket, so it provably cannot be oversized.  The driver receives only
+  the ≥f partials and sizes each candidate by the upper bound
+  U = Σ partials + (f-1)·(num_blocks − blocks_seen) ≥ n — U inflates m by
+  at most one chunk (U − n ≤ max_bucket), never misses an oversized key,
+  and never shuffles anything.
+* **scale regime** (more blocks than max_bucket, so no safe floor exists —
+  a 10⁶-dup key CAN sit at ~1 occurrence per block): per-block partial
+  counts (key, n) pre-aggregate inside ``map_batches``, then a
+  groupby-sum over the pre-aggregated key rows keeps only keys > cap.
+  Still an all-to-all, but over per-block-distinct narrow key rows instead
+  of every banded row, and only in the regime where nothing cheaper is
+  sound.
 
 The output pair set is therefore IDENTICAL to uncapped all-pairs semantics
 (the DuckDB oracles for minhash/simhash/embedding LSH stay green even when
@@ -65,17 +90,103 @@ def chunk_of(ids: np.ndarray, m: int) -> np.ndarray:
     return (mix64(ids) % np.uint64(m)).astype(np.int64)
 
 
-def task_pairs_indices(chunks: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Index pairs a task emits over its position-ordered rows: all (p < q)
-    when the task holds one chunk (intra / normal bucket), cross-chunk
-    (p < q, chunk[p] != chunk[q]) when it holds two — together the exact
-    triangle of the original bucket, each pair in exactly one task."""
+def task_pairs_indices(
+    chunks: np.ndarray, ti: int | None = None, tj: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Index pairs a task emits over its position-ordered rows.
+
+    ``(ti, tj)`` is the chunk pair the task OWNS (parsed from its task key).
+    Cross-chunk tasks (ti != tj) emit only (p < q, chunk[p] != chunk[q]) —
+    even when one side hashed empty, so they can never duplicate the intra
+    task's pairs.  Intra tasks (ti == tj) and plain buckets (ti is None)
+    emit the full triangle.  Together: the exact triangle of the original
+    bucket, each pair in exactly one task."""
     n = len(chunks)
     iu, ju = np.triu_indices(n, k=1)
-    if n and chunks.min() != chunks.max():
+    if ti is None and tj is None:
+        # legacy/inference mode: cross-chunk iff two labels are present
+        if n and chunks.min() != chunks.max():
+            keep = chunks[iu] != chunks[ju]
+            return iu[keep], ju[keep]
+        return iu, ju
+    if ti != tj:
         keep = chunks[iu] != chunks[ju]
         return iu[keep], ju[keep]
     return iu, ju
+
+
+def _probe_oversized(sigs, group_cols: list[str], max_bucket: int) -> dict:
+    """Find {group key tuple: m chunks} for every key whose bucket size can
+    exceed ``max_bucket`` — see "oversize probe" in the module docstring.
+    ``sigs`` must be materialized (the probe re-reads its blocks)."""
+    num_blocks = max(1, sigs.num_blocks())
+    floor = max_bucket // num_blocks + 1
+    key_sel = sigs.select_columns(group_cols)
+
+    if floor >= 2:
+        # bounded-block regime: shuffle-free ≥f partial emission
+        def _partials(batch: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            cols = [batch.column(c).to_pylist() for c in group_cols]
+            cnt = Counter(zip(*cols)) if cols else Counter()
+            keys = [k for k, n in cnt.items() if n >= floor]
+            out = {
+                c: pa.array([k[i] for k in keys], type=batch.schema.field(c).type)
+                for i, c in enumerate(group_cols)
+            }
+            out["_n"] = pa.array([cnt[k] for k in keys], type=pa.int64())
+            return pa.table(out)
+
+        rows = key_sel.map_batches(
+            _partials, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        agg: dict[tuple, list[int]] = {}
+        for r in rows:
+            k = tuple(r[c] for c in group_cols)
+            s = agg.setdefault(k, [0, 0])
+            s[0] += r["_n"]
+            s[1] += 1
+        out = {}
+        for k, (total, seen) in agg.items():
+            upper = total + (floor - 1) * (num_blocks - seen)
+            if upper > max_bucket:
+                out[k] = math.ceil(upper / max_bucket)
+        return out
+
+    # scale regime: exact distributed sum over per-block pre-aggregated
+    # key rows (narrow; ≤ per-block-distinct keys, never one row per
+    # banded row)
+    def _preagg(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cols = [batch.column(c).to_pylist() for c in group_cols]
+        cnt = Counter(zip(*cols)) if cols else Counter()
+        keys = list(cnt.keys())
+        out = {
+            c: pa.array([k[i] for k in keys], type=batch.schema.field(c).type)
+            for i, c in enumerate(group_cols)
+        }
+        out["_n"] = pa.array([cnt[k] for k in keys], type=pa.int64())
+        return pa.table(out)
+
+    def _sum_row(group: pa.Table) -> pa.Table:
+        total = pc.sum(group.column("_n")).as_py() or 0
+        keep = 1 if total > max_bucket else 0
+        return group.slice(0, keep).select(group_cols).append_column(
+            "_n", pa.array([total] * keep, type=pa.int64())
+        )
+
+    big = (
+        key_sel.map_batches(_preagg, batch_format="pyarrow", batch_size=None)
+        .groupby(group_cols)
+        .map_groups(_sum_row, batch_format="pyarrow")
+        .take_all()
+    )
+    return {
+        tuple(r[c] for c in group_cols): math.ceil(r["_n"] / max_bucket)
+        for r in big
+    }
 
 
 def capped_group_pairs(
@@ -114,37 +225,18 @@ def capped_group_pairs(
         iu, ju = np.triu_indices(g.num_rows, k=1)
         return verify_fn(g, iu, ju)
 
-    # the banded table is consumed twice (size scan + pair generation);
-    # materialize so the signature stage runs once.  Rows are ids + band
-    # keys (+ the small verify payload) — object-store friendly, spills.
+    # the banded table is consumed twice (oversize probe + pair
+    # generation); materialize so the signature stage runs once.  Rows are
+    # ids + band keys (+ the small verify payload) — object-store
+    # friendly, spills.
     sigs = ds.materialize()
 
-    # oversize scan as groupby().map_groups rather than .count(): the
-    # aggregate's hash-shuffle aggregator pool pays a multi-second actor
-    # spin-up per call (measured 4.3 s vs 1.6 s at sf0.1 for the identical
-    # key cardinality); the task-based sort shuffle has no pool to warm.
-    # Only keys over the cap leave the cluster — tiny by definition of skew.
-    def _size_row(group: pa.Table) -> pa.Table:
-        keep = 1 if group.num_rows > max_bucket else 0
-        return group.slice(0, keep).select(group_cols).append_column(
-            "_n", pa.array([group.num_rows] * keep, type=pa.int64())
-        )
+    oversized = _probe_oversized(sigs, group_cols, max_bucket)
 
-    big = (
-        sigs.select_columns(group_cols)
-        .groupby(group_cols)
-        .map_groups(_size_row, batch_format="pyarrow")
-        .take_all()
-    )
-
-    if not big:
+    if not oversized:
         # fast path: identical to the uncapped pipeline shape
         return sigs.groupby(group_cols).map_groups(_direct, batch_format="pyarrow")
 
-    oversized = {
-        tuple(r[c] for c in group_cols): math.ceil(r["_n"] / max_bucket)
-        for r in big
-    }
     over_ref = ray.put(oversized)
 
     def _route(batch: pa.Table) -> pa.Table:
@@ -181,7 +273,13 @@ def capped_group_pairs(
     def _task(group: pa.Table) -> pa.Table:
         g = _sorted(group)
         chunks = np.asarray(g.column(CHUNK).to_numpy(zero_copy_only=False))
-        iu, ju = task_pairs_indices(chunks)
+        tkey = g.column(TKEY)[0].as_py() if g.num_rows else "b|"
+        if tkey.startswith("s|"):
+            parts = tkey.rsplit("|", 2)
+            ti, tj = int(parts[1]), int(parts[2])
+        else:
+            ti = tj = None
+        iu, ju = task_pairs_indices(chunks, ti, tj)
         return verify_fn(g.select(payload), iu, ju)
 
     routed = sigs.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)

@@ -710,6 +710,7 @@ def connected_components(pairs, max_iters: int = 20,
     state = None
     prev_sum = None
     out = None
+    converged = False
     for _ in range(max_iters):
         inp = edges if state is None else edges.union(state)
         out = inp.groupby("node").map_groups(
@@ -719,10 +720,26 @@ def connected_components(pairs, max_iters: int = 20,
             _self_only, batch_format="pyarrow", zero_copy_batch=True
         ).sum("label")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
         state = out.map_batches(
             _as_state, batch_format="pyarrow", zero_copy_batch=True
+        )
+    if not converged:
+        # a dup-graph chain with diameter > max_iters exits here with
+        # UNDER-MERGED labels; surface it loudly instead of silently
+        # (bounded-pathology return stays the contract — callers that set
+        # a small max_iters still get SOME labeling — but unconverged
+        # labels must never pass as converged; the alternating-star
+        # upgrade in the docstring is the structural fix for long chains)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: label propagation did NOT converge in "
+            "%d rounds — a component has diameter > %d and its labels are "
+            "under-merged; raise max_iters",
+            max_iters, max_iters,
         )
 
     def _final(batch: pa.Table) -> pa.Table:

@@ -52,6 +52,14 @@ def pagerank_edges(edges, iters: int = 5, damping: float = 0.85,
     of (node, pr)."""
     nodes = _nodes(edges, src_col, dst_col).materialize()
     n = nodes.count()
+    if n == 0:
+        # empty edge table → empty ranking (not a ZeroDivisionError in _init)
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], type=pa.string()),
+                      "pr": pa.array([], type=pa.float64())})
+        )
 
     # --- degree-weighted edges (loop-invariant, materialized once) ------
     def _edge_rows(b: pa.Table) -> pa.Table:

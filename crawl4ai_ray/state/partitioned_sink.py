@@ -35,12 +35,24 @@ def _partition_dirs(root: str, col: str) -> list[str]:
     return [d for d in os.listdir(root) if d.startswith(f"{col}=")]
 
 
+def _decode_value(dirname: str) -> str:
+    """Hive directory name → partition VALUE.  The pyarrow hive writer
+    percent-encodes every URL-special character ('/', '=', '%', space, …),
+    so ``unquote`` is the exact inverse; the done-set must store DECODED
+    values or a value like ``a/b`` would never match its own directory and
+    a resume would re-write its rows (exactly-once break)."""
+    from urllib.parse import unquote
+
+    return unquote(dirname.split("=", 1)[1])
+
+
 def completed_partitions(root: str, col: str) -> set[str]:
-    """Partition VALUES whose directory carries the _SUCCESS marker."""
+    """Partition VALUES (percent-decoded) whose directory carries the
+    _SUCCESS marker."""
     done = set()
     for d in _partition_dirs(root, col):
         if os.path.exists(os.path.join(root, d, "_SUCCESS")):
-            done.add(d.split("=", 1)[1])
+            done.add(_decode_value(d))
     return done
 
 
@@ -70,8 +82,7 @@ def write_partitioned_resumable(ds, root: str, col: str) -> dict:
 
     # partials from a killed pass: no marker → delete before re-writing
     for d in _partition_dirs(root, col):
-        value = d.split("=", 1)[1]
-        if value not in done:
+        if _decode_value(d) not in done:
             shutil.rmtree(os.path.join(root, d))
 
     if done:
@@ -90,7 +101,7 @@ def write_partitioned_resumable(ds, root: str, col: str) -> dict:
 
     written = []
     for d in _partition_dirs(root, col):
-        value = d.split("=", 1)[1]
+        value = _decode_value(d)
         if value not in done:
             with open(os.path.join(root, d, "_SUCCESS"), "w") as f:
                 f.write("")

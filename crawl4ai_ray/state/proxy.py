@@ -97,13 +97,23 @@ class RoundRobinProxyStrategy:
             self.add_proxies(proxies)
 
     def add_proxies(self, proxies: list[ProxyConfig]) -> None:
-        self._proxies.extend(proxies)
-        self._cycle = cycle(self._proxies)
+        with self._lock:
+            self._proxies.extend(proxies)
+            self._cycle = cycle(self._proxies)
 
-    def get_next_proxy(self) -> ProxyConfig | None:
+    def _next_unlocked(self) -> ProxyConfig | None:
+        """Rotation step; caller must hold ``self._lock`` (subclasses
+        override THIS, not get_next_proxy, so the lock discipline is
+        inherited)."""
         if not self._cycle:
             return None
         return next(self._cycle)
+
+    def get_next_proxy(self) -> ProxyConfig | None:
+        # locked: callers run from FetchStage's per-actor thread pool, and
+        # advancing a shared itertools.cycle is only GIL-atomic by accident
+        with self._lock:
+            return self._next_unlocked()
 
     # ----------------------------------------------------- sticky sessions
     def _expired(self, created_at: float, ttl: int | None) -> bool:
@@ -118,7 +128,7 @@ class RoundRobinProxyStrategy:
                 if not self._expired(created_at, effective):
                     return proxy
                 del self._sessions[session_id]
-            proxy = self.get_next_proxy()
+            proxy = self._next_unlocked()
             if proxy:
                 self._sessions[session_id] = (proxy, self._clock(), ttl)
             return proxy
@@ -128,18 +138,20 @@ class RoundRobinProxyStrategy:
             self._sessions.pop(session_id, None)
 
     def get_session_proxy(self, session_id: str) -> ProxyConfig | None:
-        entry = self._sessions.get(session_id)
-        if entry is None:
-            return None
-        proxy, created_at, ttl = entry
-        return None if self._expired(created_at, ttl) else proxy
+        with self._lock:
+            entry = self._sessions.get(session_id)
+            if entry is None:
+                return None
+            proxy, created_at, ttl = entry
+            return None if self._expired(created_at, ttl) else proxy
 
     def get_active_sessions(self) -> dict[str, ProxyConfig]:
-        return {
-            sid: proxy
-            for sid, (proxy, created_at, ttl) in self._sessions.items()
-            if not self._expired(created_at, ttl)
-        }
+        with self._lock:
+            return {
+                sid: proxy
+                for sid, (proxy, created_at, ttl) in self._sessions.items()
+                if not self._expired(created_at, ttl)
+            }
 
     def cleanup_expired_sessions(self) -> int:
         with self._lock:
@@ -175,7 +187,7 @@ class FailureAwareProxyStrategy(RoundRobinProxyStrategy):
         until = self._benched_until.get(proxy.server, 0.0)
         return self._clock() < until
 
-    def get_next_proxy(self) -> ProxyConfig | None:
+    def _next_unlocked(self) -> ProxyConfig | None:
         if not self._cycle:
             return None
         for _ in range(len(self._proxies)):

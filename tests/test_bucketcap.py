@@ -40,7 +40,7 @@ def test_hash_chunk_tasks_cover_every_pair_exactly_once(n, c):
         for j in range(i, m):
             members = np.where((chunks == i) | (chunks == j))[0]
             order = members[np.argsort(ids[members])]
-            iu, ju = task_pairs_indices(chunks[order])
+            iu, ju = task_pairs_indices(chunks[order], i, j)
             for a, b in zip(order[iu], order[ju]):
                 p = (int(ids[a]), int(ids[b]))
                 assert p[0] < p[1]
@@ -54,6 +54,37 @@ def test_hash_chunk_tasks_cover_every_pair_exactly_once(n, c):
     if m > 1:
         sizes = np.bincount(chunks, minlength=m)
         assert sizes.max() <= 3 * math.ceil(n / m) + 4
+
+
+def test_cross_chunk_task_with_one_empty_side_emits_nothing():
+    """Regression (round-4 ADVICE): a cross-chunk task (i != j) whose
+    chunk-i side hashed empty must emit ZERO pairs — inferring 'single
+    label present → intra task' would duplicate task (j,j)'s triangle."""
+    chunks = np.array([2, 2, 2, 2], dtype=np.int64)  # only chunk 2 present
+    iu, ju = task_pairs_indices(chunks, 0, 2)
+    assert len(iu) == 0 and len(ju) == 0
+    # the owning intra task still emits the full triangle
+    iu, ju = task_pairs_indices(chunks, 2, 2)
+    assert len(iu) == 4 * 3 // 2
+
+
+def test_probe_regimes_find_oversized_keys():
+    """_probe_oversized: the shuffle-free bounded-block regime and the
+    distributed scale regime (num_blocks > max_bucket → no safe floor)
+    both flag exactly the over-cap keys, with m ≥ ceil(n/cap)."""
+    import ray.data as rd
+
+    from crawl4ai_ray.stages.bucketcap import _probe_oversized
+
+    keys = ["hot"] * 120 + [f"k{i}" for i in range(30)]
+    t = pa.table({"band_key": pa.array(keys),
+                  "doc_id": pa.array(list(range(150)), type=pa.int64())})
+    for nparts, cap in [(2, 16), (40, 16)]:  # floor≥2 regime, scale regime
+        sigs = rd.from_arrow(t).repartition(nparts).materialize()
+        over = _probe_oversized(sigs, ["band_key"], cap)
+        assert ("hot",) in over, (nparts, cap, over)
+        assert over[("hot",)] >= math.ceil(120 / cap)
+        assert all(k == ("hot",) for k in over)
 
 
 # --------------------------------------------------- capped == uncapped

@@ -99,3 +99,18 @@ def test_keep_one_no_pairs_is_identity(ray_session):
     )
     kept = sorted(r["doc_id"] for r in keep_one_survivors(docs, _pairs([])).take_all())
     assert kept == [7, 8, 9]
+
+
+def test_unconverged_label_propagation_warns(ray_session, caplog):
+    """Round-4 ADVICE: exhausting max_iters without a confirm round must
+    log a loud warning — under-merged component ids are silently wrong
+    otherwise.  (Bounded-pathology RETURN stays the contract.)"""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="crawl4ai_ray.stages.dedup"):
+        res = connected_components(
+            _pairs([(i, i + 1) for i in range(10)]), max_iters=1,
+            driver_threshold=0,
+        )
+        res.materialize()
+    assert any("did NOT converge" in r.message for r in caplog.records)

@@ -358,3 +358,20 @@ def test_pagerank_edges_matches_dense_reference(ray_session):
     # hub collects the most rank; every node keeps the teleport floor
     assert max(got, key=got.get) == "a"
     assert all(p >= (1 - d) / N - 1e-15 for p in got.values())
+
+
+def test_pagerank_edges_empty_graph_returns_empty(ray_session):
+    """Round-4 ADVICE: an empty edge table must yield an empty (node, pr)
+    dataset, not a ZeroDivisionError from 1/n inside _init."""
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from crawl4ai_ray.stages.graphrank import pagerank_edges
+
+    edges = _rd.from_arrow(
+        _pa.table({"src": _pa.array([], type=_pa.string()),
+                   "dst": _pa.array([], type=_pa.string())})
+    )
+    out = pagerank_edges(edges, iters=3)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "pr"}

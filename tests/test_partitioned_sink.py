@@ -72,3 +72,30 @@ def test_resume_noop_when_everything_done(ray_session, tmp_path):
     assert res["written"] == []
     assert sorted(res["skipped"]) == ["test", "train", "val"]
     assert sorted(_read_all(root).column("doc_id").to_pylist()) == list(range(100))
+
+
+def test_percent_encoded_partition_values_roundtrip(ray_session, tmp_path):
+    """Round-4 ADVICE regression: the hive writer percent-encodes '/', '=',
+    '%', spaces in partition VALUES; the done-set must decode directory
+    names symmetrically or a resume re-writes rows into an already-marked
+    partition (exactly-once break)."""
+    root = str(tmp_path / "enc")
+    vals = ["a/b", "x=y", "p%q", "sp ace", "plain"]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(vals))), type=pa.int64()),
+                "split": pa.array(vals),
+            }
+        )
+    )
+    first = write_partitioned_resumable(ds, root, "split")
+    assert sorted(first["written"]) == sorted(vals)
+    assert completed_partitions(root, "split") == set(vals)
+    # every resume must be a full skip — zero rewritten partitions
+    res = write_partitioned_resumable(ds, root, "split")
+    assert res["written"] == []
+    assert sorted(res["skipped"]) == sorted(vals)
+    assert sorted(_read_all(root).column("doc_id").to_pylist()) == list(
+        range(len(vals))
+    )

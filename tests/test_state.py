@@ -452,3 +452,43 @@ def test_cuckoo_set_semantics_delete_removes_entirely():
     assert cf.delete_batch(["the-key"])[0]
     assert not cf.contains_batch(["the-key"])[0]
     assert cf.count == 0
+
+
+def test_proxy_rotation_thread_safety_no_deadlock():
+    """Round-4 ADVICE: rotation + bench-check + session reads are locked
+    (FetchStage drives the strategy from a per-actor thread pool).  The
+    sticky-session path calls the rotation step while holding the lock —
+    this guards the non-reentrancy regression — and hammering from many
+    threads must neither deadlock nor lose the round-robin invariant."""
+    import threading as _t
+
+    from crawl4ai_ray.state.proxy import (
+        FailureAwareProxyStrategy,
+        ProxyConfig,
+        RoundRobinProxyStrategy,
+    )
+
+    for cls in (RoundRobinProxyStrategy, FailureAwareProxyStrategy):
+        strat = cls([ProxyConfig(f"http://10.0.0.{i}:80") for i in range(4)])
+        got = []
+        errs = []
+
+        def _worker(k):
+            try:
+                for i in range(50):
+                    p = strat.get_proxy_for_session(f"h{k}-{i % 7}")
+                    strat.record_result(p, ok=(i % 3 != 0))
+                    strat.get_session_proxy(f"h{k}-{i % 7}")
+                    strat.get_active_sessions()
+                    got.append(strat.get_next_proxy().server)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [_t.Thread(target=_worker, args=(k,)) for k in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not any(t.is_alive() for t in threads), "deadlocked"
+        assert not errs
+        assert len(got) == 8 * 50
