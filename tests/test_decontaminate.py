@@ -175,12 +175,17 @@ def test_events_value_percentiles_interpolation(ray_session, tmp_path):
 
 
 # ------------------------------------------------------------ posting lists
-def test_posting_lists_range_segmented_merge(ray_session, tmp_path):
+def test_posting_lists_segment_rows(ray_session, tmp_path):
+    """Two-level output contract (round-4 reshape): segments ARE the rows
+    — a token present in EVERY doc ("x", the stopword skew case) emits
+    one bounded (token, rk, n, ids) row per id range, never a df-sized
+    merged cell, and rk-ordered concatenation of segment lists is the
+    globally sorted posting list."""
     import pyarrow.parquet as pq
 
     from crawl4ai_ray.pipelines.queries import posting_lists
 
-    # token "x" in all 10 docs; range_width=3 → 4 segments merged in order
+    # token "x" in all 10 docs; range_width=3 → segments rk 0..3
     t = pa.table(
         {
             "doc_id": pa.array(list(range(10)), type=pa.int64()),
@@ -190,11 +195,40 @@ def test_posting_lists_range_segmented_merge(ray_session, tmp_path):
         }
     )
     pq.write_table(t, tmp_path / "documents.parquet")
-    rows = {r["token"]: r for r in posting_lists(str(tmp_path), range_width=3).take_all()}
-    assert rows["x"]["df"] == 10
-    assert rows["x"]["doc_ids"] == ",".join(map(str, range(10)))
-    assert rows["unique7"]["doc_ids"] == "7"
-    assert rows["unique7"]["df"] == 1
+    width = 3
+    rows = posting_lists(str(tmp_path), range_width=width).take_all()
+    x = sorted((r for r in rows if r["token"] == "x"), key=lambda r: r["rk"])
+    assert [r["rk"] for r in x] == [0, 1, 2, 3]
+    assert [r["n"] for r in x] == [3, 3, 3, 1]
+    # bounded: NO row's cell is df-sized — every segment holds ≤ width ids
+    for r in rows:
+        assert len(r["ids"].split(",")) <= width, r
+    # rk-ordered concat == globally sorted posting list, Σn == df
+    assert ",".join(r["ids"] for r in x) == ",".join(map(str, range(10)))
+    assert sum(r["n"] for r in x) == 10
+    uniq = [r for r in rows if r["token"] == "unique7"]
+    assert len(uniq) == 1 and uniq[0]["ids"] == "7" and uniq[0]["n"] == 1
+
+
+def test_text_stat_finalizers_hold_no_vocab_on_driver():
+    """Round-4 verdict item #3: the PMI / TF-IDF / unigram-LM finalizers
+    must keep vocab-sized tables distributed — no take_all / iter_batches
+    / to_pandas / driver dict folding in their source.  (bigram's only
+    driver collect is the 2-row kind-total aggregate; the others hold
+    scalars.)  Source-level guard so a refactor can't quietly regress."""
+    import inspect
+
+    from crawl4ai_ray.pipelines import queries as q
+
+    for fn in (q.doc_top_keywords, q.unigram_logprob_scores, q.posting_lists):
+        src = inspect.getsource(fn)
+        for banned in ("take_all", "iter_batches", "iter_rows", "to_pandas", "ray.put"):
+            assert banned not in src, (fn.__name__, banned)
+    src = inspect.getsource(q.bigram_collocations)
+    for banned in ("iter_batches", "iter_rows", "to_pandas", "ray.put"):
+        assert banned not in src, ("bigram_collocations", banned)
+    # the one allowed take_all is the 2-row kind-total aggregate
+    assert src.count("take_all") == 1
 
 
 # ------------------------------------------------------------- funnel stages
