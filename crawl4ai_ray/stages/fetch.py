@@ -204,4 +204,13 @@ class FetchStage:
         out = out.append_column(
             "success", pa.array([s == 200 for s in statuses], type=pa.bool_())
         )
+        # redirect capture (reference AsyncCrawlResponse.redirected_url,
+        # async_crawler_strategy.py:2456): transports that track the final
+        # URL surface it as a column; synthetic transports skip it
+        redirected_of = getattr(self.transport, "redirected_url_of", None)
+        if redirected_of is not None:
+            out = out.append_column(
+                "redirected_url",
+                pa.array([redirected_of(u) for u in urls], type=pa.string()),
+            )
         return out
