@@ -18,10 +18,14 @@ carry), br, hr, entity unescaping, and the single-line-break block layout
 (lists trailed by a blank pair).
 
 Nested emphasis (b/i in any nesting, incl. the stressed-space rules across
-close markers) is covered as of round 3.  Out of slice (documented, not
-silently wrong): tables inside list items, pre/list tails inside
-blockquotes mid-document.  The structure here is a DOM walk over
-stages/extract.py's tree — not a port of the reference's streaming parser.
+close markers) is covered as of round 3; round 4 closed the residual
+combos: tables inside list items (first row concatenates onto the pending
+line, remaining rows bare), blockquotes and pre blocks inside list items,
+pre/list tails inside (nested) blockquotes mid-document (incl. the
+vendored converter's prefix-loss quirk on bare text after an in-quote
+list, and the first-content-only blank line before [code]).  The structure
+here is a DOM walk over stages/extract.py's tree — not a port of the
+reference's streaming parser.
 """
 
 from __future__ import annotations
@@ -277,6 +281,10 @@ class MarkdownConverter:
         ('>> continuation')."""
         lines: list[str] = []
         inline = _Inline()
+        # after a list inside a quote, the NEXT bare text's first line
+        # consumes the list's trailing blank and prints UNPREFIXED (the
+        # vendored converter's quote state breaks there — quirk kept)
+        pending_list_tail = False
 
         def pfx() -> str:
             if chain and not lines:
@@ -284,10 +292,17 @@ class MarkdownConverter:
             return ">" * depth + " "
 
         def flush():
-            nonlocal inline
+            nonlocal inline, pending_list_tail
             text = inline.result()
             if text:
-                for ln in text.split("\n"):
+                parts = text.split("\n")
+                if pending_list_tail:
+                    if lines and lines[-1] == "":
+                        lines.pop()
+                    lines.append(parts[0])  # first line bare, rest prefixed
+                    parts = parts[1:]
+                    pending_list_tail = False
+                for ln in parts:
                     lines.append(pfx() + ln)
             inline = _Inline()
 
@@ -306,9 +321,11 @@ class MarkdownConverter:
                 continue
             if c.tag == "blockquote":
                 flush()
+                pending_list_tail = False
                 lines.extend(self._quote_lines(c, depth + 1, chain and not lines))
             elif c.tag in _HEADINGS:
                 flush()
+                pending_list_tail = False
                 text = self._render_inline(c, in_heading=True)
                 if text:
                     lines.append(pfx() + "#" * _HEADINGS[c.tag] + " " + text)
@@ -320,19 +337,26 @@ class MarkdownConverter:
                 # reference tail: a lone prefixed blank then a blank line
                 lines.append(">" * depth + " ")
                 lines.append("")
+                pending_list_tail = True
             elif c.tag == "pre":
                 flush()
+                pending_list_tail = False
                 content = self._pre_text(c)
                 body = content.split("\n")
                 while body and body[-1] == "":
                     body.pop()
-                lines.append(">" * depth + " ")
+                if not lines:
+                    # the blank quote line appears only when the pre is the
+                    # quote's FIRST content (vendored-converter quirk) —
+                    # and it takes the opening chain at nested depth
+                    lines.append(pfx())
                 lines.append("[code]")
                 lines.extend(">" * depth + "     " + ln if ln else ">" * depth + " "
                              for ln in body)
                 lines.append("[/code]")
             elif c.tag in _BLOCK_TAGS:
                 flush()
+                pending_list_tail = False
                 emit_blocks(c)
             else:
                 self._inline_node(c, inline, None)
@@ -340,6 +364,14 @@ class MarkdownConverter:
         return lines
 
     def _list_items(self, node, lines, depth):
+        """Render list items.  Block children inside an <li> reproduce the
+        vendored converter's quirks (probed shape-for-shape): a table's
+        first row CONCATENATES onto the pending line text (item line or a
+        later tail line) with the remaining rows as bare unindented lines;
+        blockquotes emit their '> ' lines at column 0; pre emits
+        '[code]    first-line' joined; any inline text after a block child
+        lands on its own bare line; <p>/<div> inline their text then end
+        the current line."""
         ordered = node.tag == "ol"
         counter = 0
         for c in node.children:
@@ -347,22 +379,79 @@ class MarkdownConverter:
                 continue
             counter += 1
             mark = f"{counter}. " if ordered else "* "
-            # item inline text (nested lists handled after the item line)
-            item_inline = _Inline()
-            nested: list = []
+
+            first_parts: list[str] = []   # the item line's content
+            tail_lines: list[str] = []    # bare lines following it
+            inline = _Inline()
+            on_first = True  # pending text still belongs to the item line
+
+            def close_line(keep_empty_first=False):
+                nonlocal inline, on_first
+                text = inline.result()
+                if on_first:
+                    if text or keep_empty_first:
+                        first_parts.append(text)
+                    on_first = False
+                elif text:
+                    tail_lines.extend(text.split("\n"))
+                inline = _Inline()
+
+            def take_pending() -> str:
+                nonlocal inline
+                text = inline.result()
+                inline = _Inline()
+                return text
+
             for cc in c.children:
-                if not isinstance(cc, str) and cc.tag in ("ul", "ol"):
-                    nested.append(cc)
-                elif not isinstance(cc, str) and cc.tag in _BLOCK_TAGS:
-                    # block inside li (e.g. <p>): inline its text
-                    self._inline_node_children(cc, item_inline)
+                if isinstance(cc, str):
+                    self._inline_node(cc, inline, None)
+                    continue
+                if cc.tag in _SKIP_TAGS:
+                    continue
+                if cc.tag in ("ul", "ol"):
+                    close_line(keep_empty_first=True)
+                    self._list_items(cc, tail_lines, depth + 1)
+                elif cc.tag == "table":
+                    text = self._table_block(cc)
+                    if text is None:
+                        continue
+                    rows = text.split("\n")
+                    pend = take_pending()
+                    if on_first:
+                        first_parts.append(pend + rows[0])
+                        on_first = False
+                        tail_lines.extend(rows[1:])
+                    elif pend:
+                        tail_lines.append(pend + rows[0])
+                        tail_lines.extend(rows[1:])
+                    else:
+                        tail_lines.extend(rows)
+                elif cc.tag == "blockquote":
+                    close_line(keep_empty_first=True)
+                    tail_lines.extend(self._quote_lines(cc, depth=1, chain=True))
+                elif cc.tag == "pre":
+                    close_line(keep_empty_first=True)
+                    body = self._pre_text(cc).split("\n")
+                    while body and body[-1] == "":
+                        body.pop()
+                    head = "[code]" + ("    " + body[0] if body else "")
+                    tail_lines.append(head)
+                    tail_lines.extend(
+                        "    " + ln if ln else "" for ln in body[1:]
+                    )
+                    tail_lines.append("[/code]")
+                elif cc.tag in _BLOCK_TAGS:
+                    # <p>/<div>/…: text joins the current line, then the
+                    # line ends (following content starts a bare line)
+                    self._inline_node_children(cc, inline)
+                    close_line()
                 else:
-                    self._inline_node(cc, item_inline, None)
-            text = item_inline.result()
-            if text:
-                lines.append("  " * (depth + 1) + mark + text)
-            for sub in nested:
-                self._list_items(sub, lines, depth + 1)
+                    self._inline_node(cc, inline, None)
+            close_line()
+            item_text = "".join(first_parts)
+            if item_text:
+                lines.append("  " * (depth + 1) + mark + item_text)
+            lines.extend(tail_lines)
 
     # --------------------------------------------------------------- inline
     def _render_inline(self, node, in_heading: bool = False) -> str:

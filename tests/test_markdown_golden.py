@@ -111,6 +111,40 @@ PARITY_EXTRA = [
     "<blockquote><pre>x=1</pre></blockquote>",
     "<blockquote>a<ul><li>x</li></ul></blockquote>",
     "<blockquote>text <b>bold</b> tail</blockquote>",
+    # round-4 residual combos (the round-3 verdict's item #8): tables
+    # inside list items, pre/list tails inside (nested) blockquotes
+    # mid-document, blockquotes inside list items — each probed
+    # shape-for-shape against the vendored converter
+    "<ul><li>item<table><tr><td>a</td><td>b</td></tr></table></li></ul>",
+    "<ul><li>x<table><tr><th>H</th></tr><tr><td>1</td></tr></table>tail</li><li>y</li></ul>",
+    "<ol><li>n<table><tr><td>c</td></tr></table></li></ol>",
+    "<blockquote><pre>x=1</pre><p>after</p></blockquote>",
+    "<blockquote><blockquote><pre>x=1\ny=2</pre></blockquote>mid</blockquote>",
+    "<blockquote><ul><li>a</li><li>b</li></ul>tail</blockquote>",
+    "<blockquote><blockquote><ul><li>a</li></ul></blockquote>tail</blockquote>",
+    "<blockquote>lead<ul><li>a</li></ul><p>mid</p><pre>z</pre>end</blockquote>",
+    "<ul><li>a<blockquote>q</blockquote>t</li></ul>",
+    "<blockquote>txt<pre>z</pre></blockquote>",
+    "<blockquote><h2>H</h2><pre>z</pre></blockquote>",
+    "<blockquote><ul><li>a</li></ul><pre>z</pre></blockquote>",
+    "<blockquote><pre>a</pre><pre>b</pre></blockquote>",
+    "<blockquote><ul><li>a</li></ul><blockquote>q</blockquote></blockquote>",
+    "<blockquote><ul><li>a</li></ul><ul><li>b</li></ul></blockquote>",
+    "<blockquote><ul><li>a</li></ul>t1<p>p1</p></blockquote>",
+    "<blockquote><ul><li>a</li></ul>t1<blockquote>q</blockquote></blockquote>",
+    "<ul><li>a<pre>z</pre>t</li></ul>",
+    "<ul><li><table><tr><td>c</td></tr></table></li></ul>",
+    "<ul><li>x<table><tr><td>c</td></tr></table></li><li>y<blockquote>q</blockquote>z</li></ul>",
+    "<ol><li>a<ol><li>b<table><tr><td>t</td></tr></table></li></ol>c</li></ol>",
+    "<blockquote><table><tr><td>c</td><td>d</td></tr></table>t</blockquote>",
+    "<ul><li>a<table><caption>C</caption><tr><td>x</td></tr></table></li></ul>",
+    "<ul><li>a<pre>x=1\ny=2</pre>t</li></ul>",
+    "<ul><li>a<blockquote>q</blockquote><table><tr><td>c</td></tr></table></li></ul>",
+    "<ul><li>a<table><tr><td>c</td></tr></table><table><tr><td>d</td></tr></table></li></ul>",
+    "<ul><li><p>para</p>t<table><tr><td>c</td></tr></table></li></ul>",
+    "<ul><li>a<table><tr><td>c</td></tr><tr><td>d</td></tr></table>t<b>b</b></li></ul>",
+    "<blockquote><ul><li>a</li></ul>t1 t2<br>t3</blockquote>",
+    "<blockquote><ol><li>o</li></ol>end</blockquote>",
 ]
 
 
