@@ -181,6 +181,8 @@ class LLMExtractionStage:
         text_col: str = "text",
         id_col: str = "doc_id",
         url_col: str | None = None,
+        response_cache: bool = True,
+        cache_dir: str | None = None,
     ):
         self.client = (client_factory or FakeLLMClient)()
         self.instruction = instruction
@@ -193,6 +195,67 @@ class LLMExtractionStage:
         self.id_col = id_col
         self.url_col = url_col
         self.total_usage = TokenUsage()
+        # LLM response cache (reference content_filter_strategy.py:877-881:
+        # file cache keyed md5(content + instruction)): actor-local dict so
+        # a repeated chunk skips the completion call entirely — boilerplate
+        # sections repeat constantly across a crawl — plus an optional
+        # persisted parquet side table (``cache_dir``) that pre-warms the
+        # next actor generation / resumed run.  A cache hit adds NOTHING to
+        # TokenUsage: no call happened.
+        self.cache: dict[str, str] | None = {} if response_cache else None
+        self.cache_dir = cache_dir
+        self.cache_hits = 0
+        self._cache_new: dict[str, str] = {}
+        if self.cache is not None and cache_dir:
+            import os
+
+            import pyarrow.parquet as pq
+
+            if os.path.isdir(cache_dir):
+                for f in sorted(os.listdir(cache_dir)):
+                    if f.endswith(".parquet"):
+                        t = pq.read_table(os.path.join(cache_dir, f))
+                        for k, v in zip(
+                            t.column("key").to_pylist(),
+                            t.column("response").to_pylist(),
+                        ):
+                            self.cache[k] = v
+
+    def _cache_key(self, section: str) -> str:
+        import hashlib
+
+        return hashlib.md5(
+            (section + (self.instruction or "")).encode()
+        ).hexdigest()
+
+    def flush_cache(self) -> int:
+        """Persist entries added since the last flush to the side table
+        (one small file per flush — append-only, resume-friendly).
+        Returns the number of rows written."""
+        if not self._cache_new or not self.cache_dir:
+            n = len(self._cache_new)
+            self._cache_new = {}
+            return 0 if not self.cache_dir else n
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.cache_dir, exist_ok=True)
+        t = pa.table(
+            {
+                "key": pa.array(list(self._cache_new.keys()), type=pa.string()),
+                "response": pa.array(
+                    list(self._cache_new.values()), type=pa.string()
+                ),
+            }
+        )
+        pq.write_table(
+            t, os.path.join(self.cache_dir, f"llmcache-{uuid.uuid4().hex}.parquet")
+        )
+        n = t.num_rows
+        self._cache_new = {}
+        return n
 
     def _prompt(self, url: str, section: str) -> str:
         if self.instruction:
@@ -214,12 +277,21 @@ class LLMExtractionStage:
         usage = TokenUsage()
         for ix, section in enumerate(sections):
             try:
-                resp = self.client.complete(self._prompt(url, section))
-                u = resp.get("usage", {})
-                usage.prompt_tokens += int(u.get("prompt_tokens", 0))
-                usage.completion_tokens += int(u.get("completion_tokens", 0))
-                usage.total_tokens += int(u.get("total_tokens", 0))
-                for b in parse_blocks(resp["text"]):
+                key = self._cache_key(section) if self.cache is not None else None
+                if key is not None and key in self.cache:
+                    self.cache_hits += 1
+                    text_resp = self.cache[key]  # no call → no token usage
+                else:
+                    resp = self.client.complete(self._prompt(url, section))
+                    u = resp.get("usage", {})
+                    usage.prompt_tokens += int(u.get("prompt_tokens", 0))
+                    usage.completion_tokens += int(u.get("completion_tokens", 0))
+                    usage.total_tokens += int(u.get("total_tokens", 0))
+                    text_resp = resp["text"]
+                    if key is not None:
+                        self.cache[key] = text_resp
+                        self._cache_new[key] = text_resp
+                for b in parse_blocks(text_resp):
                     b["chunk_index"] = ix
                     blocks.append(b)
             except Exception as e:  # error-block contract, :725-736
@@ -247,6 +319,8 @@ class LLMExtractionStage:
             p_tok.append(usage.prompt_tokens)
             c_tok.append(usage.completion_tokens)
             t_tok.append(usage.total_tokens)
+        if self.cache_dir and self._cache_new:
+            self.flush_cache()  # write-behind side table, once per batch
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),

@@ -64,17 +64,77 @@ def spans_to_media_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-class RealDecoder:
-    """Placeholder for a PIL/ffmpeg-backed PIXEL decoder — NOT available in
-    this container.  A real deployment implements decode() with the actual
-    lib.  For metadata-only needs use HeaderProbeDecoder below, which is
-    fully functional with no dependencies."""
+def pil_available() -> bool:
+    """True when PIL/Pillow is importable (absent in this container)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class PilDecoder:
+    """REAL pixel decoder backed by PIL — availability-selected (the
+    lxml/lance_sink pattern): ``select_decoder_factory`` activates this
+    tier automatically when Pillow is importable and falls back to
+    HeaderProbeDecoder otherwise.  Image kinds open through PIL (true
+    pixel-level dimensions, format, n_frames for animated containers);
+    non-image kinds and undecodable payloads fall back to the header
+    probe, so the stage never raises mid-batch.
+
+    ``image_module`` injects a stand-in for tests (this container has no
+    Pillow); production leaves it None and imports PIL.Image once per
+    actor (__init__ = per-actor model-load slot)."""
+
+    def __init__(self, image_module=None):
+        if image_module is None:
+            import PIL.Image as image_module  # noqa: N813 (per-actor, once)
+        self._image = image_module
+        self._probe = HeaderProbeDecoder()
 
     def decode(self, payload: bytes, kind: str) -> dict:
-        raise NotImplementedError(
-            "image/audio decode libs are not installed in this sandbox; "
-            "use HeaderProbeDecoder (metadata) or DeterministicFakeDecoder"
-        )
+        if kind != "image" or not payload:
+            return self._probe.decode(payload, kind)
+        import io
+
+        try:
+            img = self._image.open(io.BytesIO(payload))
+            return {
+                "width": int(img.size[0]),
+                "height": int(img.size[1]),
+                "format": (img.format or "").lower(),
+                "n_frames": int(getattr(img, "n_frames", 1)),
+            }
+        except Exception:
+            return self._probe.decode(payload, kind)
+
+
+def select_decoder_factory():
+    """Best REAL decoder for this environment: PIL pixel decode when
+    Pillow is importable, header probing otherwise.  Pass the result as
+    ``MediaDecodeStage(decoder_factory=...)``."""
+    return PilDecoder if pil_available() else HeaderProbeDecoder
+
+
+class RealDecoder:
+    """Hard-require tier: the PIL-backed decoder or an ImportError-shaped
+    failure — for deployments that must not silently degrade to header
+    probing.  Prefer ``select_decoder_factory()`` for the availability-
+    selected behavior."""
+
+    def __init__(self):
+        if not pil_available():
+            raise NotImplementedError(
+                "pixel decode requires Pillow, which is not installed in "
+                "this sandbox; use select_decoder_factory() (availability-"
+                "selected), HeaderProbeDecoder (metadata) or "
+                "DeterministicFakeDecoder (tests)"
+            )
+        self._inner = PilDecoder()
+
+    def decode(self, payload: bytes, kind: str) -> dict:
+        return self._inner.decode(payload, kind)
 
 
 class HeaderProbeDecoder:

@@ -755,3 +755,182 @@ def test_header_probe_jpeg_fill_bytes():
     jpg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
     m = HeaderProbeDecoder().decode(jpg, "image")
     assert (m["width"], m["height"], m["format"]) == (360, 240, "jpg")
+
+
+# ------------------------------------------------- PIL availability tier
+def _tiny_png() -> bytes:
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)  # 3x2 grayscale
+    idat = zlib.compress(b"\x00\x01\x02\x03" * 2)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def test_decoder_selection_without_pil():
+    """This container has no Pillow: the availability selector must fall
+    back to the header probe, and the hard-require tier must refuse."""
+    import pytest as _pytest
+
+    from crawl4ai_ray.stages import multimodal as mm
+
+    if mm.pil_available():  # pragma: no cover - env-dependent
+        _pytest.skip("Pillow present in this environment")
+    assert mm.select_decoder_factory() is mm.HeaderProbeDecoder
+    with _pytest.raises(NotImplementedError):
+        mm.RealDecoder()
+    # the fallback still parses real container headers
+    m = mm.HeaderProbeDecoder().decode(_tiny_png(), "image")
+    assert (m["width"], m["height"], m["format"]) == (3, 2, "png")
+
+
+def test_decoder_selection_with_fake_pil(monkeypatch):
+    """The PIL tier activates when Pillow imports: simulate availability
+    with a stand-in PIL.Image module and drive PilDecoder through the
+    pixel path (size/format/n_frames from the decoded object), including
+    the never-raise fallback for undecodable payloads."""
+    import sys
+    import types
+
+    from crawl4ai_ray.stages import multimodal as mm
+
+    class _FakeImg:
+        size = (33, 44)
+        format = "PNG"
+        n_frames = 3
+
+    class _FakeImageModule:
+        @staticmethod
+        def open(fp):
+            data = fp.read()
+            if not data.startswith(b"\x89PNG"):
+                raise OSError("cannot identify image file")
+            return _FakeImg()
+
+    pil_pkg = types.ModuleType("PIL")
+    pil_img = types.ModuleType("PIL.Image")
+    pil_img.open = _FakeImageModule.open
+    pil_pkg.Image = pil_img
+    monkeypatch.setitem(sys.modules, "PIL", pil_pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_img)
+
+    assert mm.pil_available()
+    assert mm.select_decoder_factory() is mm.PilDecoder
+    d = mm.select_decoder_factory()()
+    meta = d.decode(_tiny_png(), "image")
+    assert meta == {"width": 33, "height": 44, "format": "png", "n_frames": 3}
+    # undecodable payload → header-probe fallback, not an exception
+    bad = d.decode(b"not an image", "image")
+    assert bad["format"] == "" and bad["width"] == 0
+    # non-image kinds bypass PIL entirely (header probe handles WAV etc.)
+    assert d.decode(b"", "audio")["format"] == ""
+    # hard-require tier now constructs and decodes
+    real = mm.RealDecoder()
+    assert real.decode(_tiny_png(), "image")["width"] == 33
+
+
+def test_media_decode_stage_with_selected_factory(ray_session):
+    """MediaDecodeStage accepts the selected factory unchanged — the
+    actor-pool plumbing is identical whichever tier wins."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_ray.stages import multimodal as mm
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d1"], type=pa.string()),
+            "media_ref": pa.array(["m1"], type=pa.string()),
+            "kind": pa.array(["image"], type=pa.string()),
+            "payload": pa.array([_tiny_png()], type=pa.binary()),
+            "meta": pa.array(
+                [{"width": 0, "height": 0, "format": "", "n_frames": 0}],
+                type=mm.MEDIA_SCHEMA.field("meta").type,
+            ),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            mm.MediaDecodeStage,
+            fn_constructor_kwargs=dict(
+                decoder_factory=mm.select_decoder_factory(), synth_payload=False
+            ),
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=1,
+        )
+        .take_all()
+    )
+    assert out[0]["meta"]["width"] == 3 and out[0]["meta"]["format"] == "png"
+
+
+# ----------------------------------------------------- LLM response cache
+def test_llm_response_cache_skips_repeated_chunks(tmp_path):
+    """Reference content_filter_strategy.py:877-881 semantics: responses
+    cache under md5(content + instruction).  A repeated chunk must skip
+    the client call (call count flat, TokenUsage unchanged) while
+    returning identical blocks; the persisted side table pre-warms a
+    fresh actor so even its FIRST call is a hit."""
+    from crawl4ai_ray.functions.llm_extract import FakeLLMClient, LLMExtractionStage
+
+    calls = {"n": 0}
+
+    class CountingClient(FakeLLMClient):
+        def complete(self, prompt):
+            calls["n"] += 1
+            return super().complete(prompt)
+
+    cache_dir = str(tmp_path / "llmcache")
+    stage = LLMExtractionStage(
+        client_factory=CountingClient, instruction="summarize",
+        cache_dir=cache_dir,
+    )
+    text = "alpha beta gamma " * 30
+    blocks1, usage1 = stage.extract_one("http://x/a", text)
+    n_after_first = calls["n"]
+    assert n_after_first >= 1 and usage1.total_tokens > 0
+    total_before = stage.total_usage.total_tokens
+
+    # same content again (other doc id/url — key is content+instruction)
+    blocks2, usage2 = stage.extract_one("http://x/b", text)
+    assert calls["n"] == n_after_first            # client NOT called
+    assert stage.cache_hits >= 1
+    assert usage2.total_tokens == 0               # no call → no usage
+    assert stage.total_usage.total_tokens == total_before
+    strip = lambda bs: [{k: v for k, v in b.items()} for b in bs]
+    assert strip(blocks2) == strip(blocks1)
+
+    # different instruction misses (key includes the instruction)
+    stage2 = LLMExtractionStage(
+        client_factory=CountingClient, instruction="translate",
+    )
+    stage2.extract_one("http://x/a", text)
+    assert calls["n"] > n_after_first
+
+    # persisted side table pre-warms a brand-new actor
+    stage.flush_cache()
+    calls["n"] = 0
+    warm = LLMExtractionStage(
+        client_factory=CountingClient, instruction="summarize",
+        cache_dir=cache_dir,
+    )
+    blocks3, usage3 = warm.extract_one("http://x/c", text)
+    assert calls["n"] == 0 and usage3.total_tokens == 0
+    assert strip(blocks3) == strip(blocks1)
+
+    # cache off → every repeat pays the call
+    cold = LLMExtractionStage(
+        client_factory=CountingClient, instruction="summarize",
+        response_cache=False,
+    )
+    cold.extract_one("http://x/a", text)
+    cold.extract_one("http://x/a", text)
+    assert calls["n"] >= 2
