@@ -219,10 +219,23 @@ def main() -> None:
         help="print per-stage ds.stats() for one epoch of the flagship "
              "pipeline (wall-time attribution audit)",
     )
+    ap.add_argument(
+        "--queries-only", action="store_true",
+        help="skip the crawl headline; time the query roster only "
+             "(the round-3→4 bench-inflation investigation tool)",
+    )
     args = ap.parse_args()
 
     if args.stats:
         run_stage_stats(args.sf_dir, args.num_cpus)
+        return
+
+    if args.queries_only:
+        print(json.dumps({
+            "metric": "query_roster_seconds",
+            "queries": run_queries(args.sf_dir, args.num_cpus),
+            "num_cpus": args.num_cpus,
+        }))
         return
 
     sf = 0.1

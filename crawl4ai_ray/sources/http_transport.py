@@ -317,6 +317,32 @@ class HttpTransport:
             r.close()
 
 
+class HttpSeederTransport:
+    """Seeder-side transport over live HTTP (reference AsyncUrlSeeder's
+    aiohttp path, url_seeder.py): ``fetch_sitemap`` GETs the sitemap XML
+    through the shared HttpTransport (sub-sitemap recursion handled by
+    SeederStage, sources/seeder.py) and ``fetch_head`` streams only the
+    ``<head>`` section (the transport's conditional_head reader) and
+    parses it with the same extract_metadata the synthetic tier uses —
+    so `extract_head=True` seeding works against real sites with
+    bounded bytes per URL."""
+
+    def __init__(self, http: HttpTransport | None = None):
+        self.http = http or HttpTransport()
+
+    def fetch_sitemap(self, url: str) -> str | None:
+        status, body = self.http.fetch(url)
+        return body if status == 200 else None
+
+    def fetch_head(self, url: str) -> dict:
+        from ..stages.extract import extract_metadata, parse_dom
+
+        status, head_html = self.http.conditional_head(url)
+        if status != 200 or not head_html:
+            return {}
+        return extract_metadata(parse_dom(head_html))
+
+
 def fetch_robots(hosts: list[str], transport, scheme: str = "http") -> dict[str, str]:
     """Per-host robots.txt bodies via the live transport (the reference's
     RobotsParser fetch path) — feeds CrawlEngine(robots_bodies=...).

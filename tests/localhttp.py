@@ -128,6 +128,24 @@ class _Handler(BaseHTTPRequestHandler):
                 {k.lower(): v for k, v in self.headers.items()}
             ).encode()
             self._reply(200, body, {"Content-Type": "application/json"})
+        elif p == "/sitemap.xml":
+            # sitemapindex → two chunked sub-sitemaps (recursion path)
+            subs = "".join(
+                f"<sitemap><loc>http://{self.headers['Host']}/sitemap_{c}.xml</loc></sitemap>"
+                for c in range(2)
+            )
+            self._reply(200, f'<?xml version="1.0"?><sitemapindex>{subs}</sitemapindex>'.encode(),
+                        {"Content-Type": "application/xml"})
+        elif p.startswith("/sitemap_"):
+            c = int(p[len("/sitemap_"):-len(".xml")])
+            half = (st.n_pages + 1) // 2
+            ids = range(c * half, min(st.n_pages, (c + 1) * half))
+            locs = "".join(
+                f"<url><loc>http://{self.headers['Host']}/page/{i}</loc></url>"
+                for i in ids
+            )
+            self._reply(200, f'<?xml version="1.0"?><urlset>{locs}</urlset>'.encode(),
+                        {"Content-Type": "application/xml"})
         elif p.startswith("/status/"):
             self._reply(int(p.rsplit("/", 1)[1]))
         elif p == "/slow":

@@ -254,3 +254,28 @@ def test_politeness_spacing_on_the_wire(tmp_path, ray_session):
         # loose per-gap and tight on the mean.
         assert all(g >= delay - 0.1 for g in gaps), gaps
         assert sum(gaps) / len(gaps) >= delay - 0.02, gaps
+
+
+def test_seeder_over_live_http(site):
+    """HttpSeederTransport: sitemap index recursion + bounded head fetch
+    through real sockets (the reference AsyncUrlSeeder network path)."""
+    from crawl4ai_ray.sources.http_transport import HttpSeederTransport
+    from crawl4ai_ray.sources.seeder import parse_sitemap
+
+    base, state = site
+    host = base.split("://", 1)[1]
+    t = HttpSeederTransport()
+    xml = t.fetch_sitemap(f"{base}/sitemap.xml")
+    urls, subs = parse_sitemap(xml)
+    assert urls == [] and len(subs) == 2
+    collected = []
+    for sm in subs:
+        u, s = parse_sitemap(t.fetch_sitemap(sm))
+        assert s == []
+        collected += u
+    assert collected == [f"http://{host}/page/{i}" for i in range(state.n_pages)]
+    # missing sitemap → None (allow caller fallback), not an exception
+    assert t.fetch_sitemap(f"{base}/nope.xml") is None
+    # head fetch: title parsed from ONLY the streamed <head> section
+    head = t.fetch_head(f"{base}/page/4")
+    assert head.get("title") == "page 4"
