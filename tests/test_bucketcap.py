@@ -69,9 +69,11 @@ def test_cross_chunk_task_with_one_empty_side_emits_nothing():
 
 
 def test_probe_regimes_find_oversized_keys():
-    """_probe_oversized: the shuffle-free bounded-block regime and the
-    distributed scale regime (num_blocks > max_bucket → no safe floor)
-    both flag exactly the over-cap keys, with m ≥ ceil(n/cap)."""
+    """_probe_oversized, all three regimes: the driver block-walk (≤
+    threshold rows — zero extra tasks), the shuffle-free bounded-block
+    floor regime, and the distributed scale regime (num_blocks >
+    max_bucket → no safe floor) each flag exactly the over-cap keys,
+    with m ≥ ceil(n/cap)."""
     import ray.data as rd
 
     from crawl4ai_ray.stages.bucketcap import _probe_oversized
@@ -79,10 +81,15 @@ def test_probe_regimes_find_oversized_keys():
     keys = ["hot"] * 120 + [f"k{i}" for i in range(30)]
     t = pa.table({"band_key": pa.array(keys),
                   "doc_id": pa.array(list(range(150)), type=pa.int64())})
-    for nparts, cap in [(2, 16), (40, 16)]:  # floor≥2 regime, scale regime
+    for nparts, cap, thresh in [
+        (2, 16, 10**6),   # driver block-walk regime (exact counts)
+        (2, 16, 0),       # floor≥2 regime (upper-bound counts)
+        (40, 16, 0),      # scale regime (exact distributed sum)
+    ]:
         sigs = rd.from_arrow(t).repartition(nparts).materialize()
-        over = _probe_oversized(sigs, ["band_key"], cap)
-        assert ("hot",) in over, (nparts, cap, over)
+        over = _probe_oversized(sigs, ["band_key"], cap,
+                                driver_rows_threshold=thresh)
+        assert ("hot",) in over, (nparts, cap, thresh, over)
         assert over[("hot",)] >= math.ceil(120 / cap)
         assert all(k == ("hot",) for k in over)
 
