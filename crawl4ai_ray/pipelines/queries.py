@@ -3366,6 +3366,218 @@ FROM h
 
 # ================================================================== registry
 
+# ----------------------------------------------- round-4 operator classes
+def customers_never_active(sf_dir: str):
+    """Anti-join (NOT EXISTS) as a first-class corpus operator — the same
+    shape the crawl engine uses for frontier⋈seen, here SQL-oracled:
+    customers whose key never appears as an events.user_id.  Tagged-union
+    groupby: customer rows union per-batch-DISTINCT event user ids
+    (pre-agg inside map_batches so a 1000-event user ships one probe row
+    per batch, not 1000), then the per-key group keeps the customer row
+    only when no activity row arrived.  One all-to-all, no broadcast, no
+    driver state — works when BOTH sides are fact-sized (the broadcast
+    dim-join pattern can't)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    events = _read(sf_dir, "events", columns=["user_id"])
+
+    def _cust_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": b.column("c_custkey"),
+                "seg": b.column("c_mktsegment"),
+                "is_active": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    def _activity_probe(b: pa.Table) -> pa.Table:
+        ks = pc.unique(b.column("user_id"))
+        return pa.table(
+            {
+                "key": pc.cast(ks, pa.int64()),
+                "seg": pa.nulls(len(ks), type=pa.string()),
+                "is_active": pa.array(np.ones(len(ks), dtype=bool)),
+            }
+        )
+
+    u = cust.map_batches(_cust_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+        events.map_batches(_activity_probe, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def _keep_inactive(g: pa.Table) -> pa.Table:
+        is_active = g.column("is_active").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {"c_custkey": pa.array([], type=pa.int64()),
+             "c_mktsegment": pa.array([], type=pa.string())}
+        )
+        if is_active.any():
+            return empty
+        c = g.filter(pa.array(~is_active)).slice(0, 1)
+        if c.num_rows == 0:  # activity for a key outside the customer table
+            return empty
+        return pa.table(
+            {"c_custkey": c.column("key"), "c_mktsegment": c.column("seg")}
+        )
+
+    return u.groupby("key").map_groups(_keep_inactive, batch_format="pyarrow")
+
+
+def revenue_rollup(sf_dir: str):
+    """GROUPING SETS / ROLLUP(region, nation) over order revenue: nation
+    rows + per-region subtotals + a grand total, NULL-padded like SQL.
+    Ray shape: ONE distributed cents aggregate at the finest (nation)
+    grain — the fact table streams exactly once — then the region and
+    grand levels fold from the TINY nation-level result on the driver
+    (25 rows; a 100-TB fact table never re-scans for subtotals).  Exact
+    int-cents arithmetic end-to-end, so every level matches SQL sums
+    bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rk_to_region = dict(
+        zip(region.column("r_regionkey").to_pylist(),
+            region.column("r_name").to_pylist())
+    )
+    nk_to_pair = {
+        nk: (rk_to_region[rk], name)
+        for nk, name, rk in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+            nation.column("n_regionkey").to_pylist(),
+        )
+    }
+    cust_to_pair = {
+        ck: nk_to_pair[nk]
+        for ck, nk in zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_nationkey").to_pylist(),
+        )
+    }
+    lookup_ref = ray.put(cust_to_pair)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        from ..functions.numeric import cents
+
+        lookup = ray.get(lookup_ref)
+        totals_c = cents(_np(b, "o_totalprice"))
+        agg: dict[tuple, list[int]] = {}
+        for k, c in zip(b.column("o_custkey").to_pylist(), totals_c):
+            a = agg.setdefault(lookup[k], [0, 0])
+            a[0] += int(c)
+            a[1] += 1
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "r_name": pa.array([k[0] for k in keys], type=pa.string()),
+                "n_name": pa.array([k[1] for k in keys], type=pa.string()),
+                "revenue_c": pa.array([agg[k][0] for k in keys], type=pa.int64()),
+                "n_orders": pa.array([agg[k][1] for k in keys], type=pa.int64()),
+            }
+        )
+
+    fine = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["r_name", "n_name"])
+        .aggregate(
+            Sum(on="revenue_c", alias_name="revenue_c"),
+            Sum(on="n_orders", alias_name="n_orders"),
+        )
+        .take_all()  # nation-grain result: ≤ |nations| rows, driver-small
+    )
+    rows = [
+        {"r_name": r["r_name"], "n_name": r["n_name"],
+         "revenue": r["revenue_c"] / 100.0, "n_orders": r["n_orders"]}
+        for r in fine
+    ]
+    by_region: dict[str, list[int]] = {}
+    total = [0, 0]
+    for r in fine:
+        a = by_region.setdefault(r["r_name"], [0, 0])
+        a[0] += r["revenue_c"]
+        a[1] += r["n_orders"]
+        total[0] += r["revenue_c"]
+        total[1] += r["n_orders"]
+    rows += [
+        {"r_name": rn, "n_name": None, "revenue": v[0] / 100.0, "n_orders": v[1]}
+        for rn, v in by_region.items()
+    ]
+    rows.append(
+        {"r_name": None, "n_name": None,
+         "revenue": total[0] / 100.0, "n_orders": total[1]}
+    )
+    return pa.Table.from_pylist(rows)
+
+
+def events_running_sum(sf_dir: str):
+    """Cumulative windowed aggregate: per user, events in (ts, event_id)
+    order, running sum of ``value`` — the classic
+    ``SUM() OVER (PARTITION BY … ORDER BY …)``.  Ray shape: ONE groupby
+    co-locates each user's events; the group task sorts its own rows and
+    cumsums (group size = events per user — bounded; never a global
+    sort).  Rounded to 4dp on both sides (same float order: both sides
+    accumulate in (ts, event_id) sequence)."""
+    from ..functions.numeric import duck_round
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def _cum(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(idx)
+        run = np.cumsum(g.column("value").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "running_value": pa.array(
+                    np.asarray(duck_round(run, 4)), type=pa.float64()
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(_cum, batch_format="pyarrow")
+
+
+def customer_order_gaps(sf_dir: str):
+    """LAG-window family: per customer, orders in (date, orderkey) order,
+    mean gap in days between consecutive orders — churn/recency feature
+    engineering.  Same one-groupby shape as events_running_sum (group =
+    a customer's orders); single-order customers emit NULL like SQL's
+    avg-over-empty-lag."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _gaps(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")]
+        )
+        g = g.take(idx)
+        us = pc.cast(g.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        days = us // 86_400_000_000  # timestamps are midnight-aligned
+        n = len(days)
+        if n > 1:
+            gaps = np.diff(days).astype(np.float64)
+            avg = float(gaps.mean())
+        else:
+            avg = None
+        return pa.table(
+            {
+                "o_custkey": g.column("o_custkey").slice(0, 1),
+                "n_orders": pa.array([n], type=pa.int64()),
+                "avg_gap_days": pa.array([avg], type=pa.float64()),
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(_gaps, batch_format="pyarrow")
+
+
 # ORDER MATTERS: the round driver evaluates only the FIRST 50 entries per
 # round, so the window must be 100% oracle-backed (round-3 verdict item
 # #2).  Layout: [1..50] the most load-bearing DuckDB-oracled pipelines —
@@ -3377,14 +3589,12 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_nation": revenue_by_nation,
     "top10_orders": top10_orders,
-    "part_type_stats": part_type_stats,
     "events_by_type_day": events_by_type_day,
     "user_session_stats": user_session_stats,
     "events_asof_orders": events_asof_orders,
     "events_hopping_windows": events_hopping_windows,
     "dedup_exact": dedup_exact,
     "token_counts": token_counts,
-    "token_counts_bpe": token_counts_bpe,
     "quality_scores": quality_scores,
     "lang_distribution": lang_distribution,
     "fingerprint_md5": fingerprint_md5,
@@ -3408,6 +3618,10 @@ QUERIES = {
     "user_funnel_stages": user_funnel_stages,
     "top_orders_per_segment": top_orders_per_segment,
     "order_lineitem_totals": order_lineitem_totals,
+    "customers_never_active": customers_never_active,
+    "revenue_rollup": revenue_rollup,
+    "events_running_sum": events_running_sum,
+    "customer_order_gaps": customer_order_gaps,
     "knn_cosine_top10": knn_cosine_top10,
     "knn_cosine_lsh": knn_cosine_lsh,
     "knn_cosine_ivf": knn_cosine_ivf,
@@ -3417,14 +3631,16 @@ QUERIES = {
     "spans_flat": spans_flat,
     "media_catalog": media_catalog,
     "chunks_fixed": chunks_fixed,
-    "chunks_sliding": chunks_sliding,
-    "chunks_merged": chunks_merged,
     "regex_numbers_events": regex_numbers_events,
     "structured_roundtrip": structured_roundtrip,
     "structured_xpath_roundtrip": structured_xpath_roundtrip,
     "table_roundtrip": table_roundtrip,
     "bm25_rank_docs": bm25_rank_docs,
     # -------- oracled variants outside the 50-slot window --------
+    "part_type_stats": part_type_stats,
+    "token_counts_bpe": token_counts_bpe,
+    "chunks_sliding": chunks_sliding,
+    "chunks_merged": chunks_merged,
     "revenue_by_returnflag": revenue_by_returnflag,
     "events_value_bands": events_value_bands,
     "simhash_docs": simhash_docs,
@@ -3860,6 +4076,43 @@ ORACLE_SQL = {
         SELECT token, doc_id // 200 AS rk, count(*) AS n,
                array_to_string(list_sort(list(doc_id)), ',') AS ids
         FROM p GROUP BY token, doc_id // 200
+    """,
+    "customers_never_active": """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM events e WHERE e.user_id = c.c_custkey
+        )
+    """,
+    # exact integer-cents rollup on both sides (the q1 money rule)
+    "revenue_rollup": """
+        SELECT r.r_name, n.n_name,
+               sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) / 100.0
+                   AS revenue,
+               count(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    "events_running_sum": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ), 4) AS running_value
+        FROM events
+    """,
+    "customer_order_gaps": """
+        WITH g AS (
+            SELECT o_custkey,
+                   date_diff('day', lag(o_orderdate) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ), o_orderdate) AS gap
+            FROM orders
+        )
+        SELECT o_custkey, count(*) AS n_orders,
+               avg(CAST(gap AS DOUBLE)) AS avg_gap_days
+        FROM g GROUP BY o_custkey
     """,
     "events_value_percentiles": """
         SELECT event_type,
