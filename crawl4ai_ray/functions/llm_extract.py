@@ -183,6 +183,7 @@ class LLMExtractionStage:
         url_col: str | None = None,
         response_cache: bool = True,
         cache_dir: str | None = None,
+        cache_key: str = "content",
     ):
         self.client = (client_factory or FakeLLMClient)()
         self.instruction = instruction
@@ -202,6 +203,19 @@ class LLMExtractionStage:
         # persisted parquet side table (``cache_dir``) that pre-warms the
         # next actor generation / resumed run.  A cache hit adds NOTHING to
         # TokenUsage: no call happened.
+        #
+        # ``cache_key``: "content" (reference parity — md5(section +
+        # instruction); cross-document dedup, but a replayed response was
+        # generated under a DIFFERENT document's {URL} slot, so only use
+        # it when the client's output is URL-independent) or "prompt"
+        # (md5 of the exact prompt sent — always sound, dedups only exact
+        # prompt repeats).  Note the accounting consequence of any cache:
+        # per-row token columns depend on actor routing (a duplicate pays
+        # tokens only on its first actor) — pipelines that must be
+        # bit-deterministic row-wise pass response_cache=False.
+        if cache_key not in ("content", "prompt"):
+            raise ValueError(f"cache_key must be 'content' or 'prompt', got {cache_key!r}")
+        self.cache_key_mode = cache_key
         self.cache: dict[str, str] | None = {} if response_cache else None
         self.cache_dir = cache_dir
         self.cache_hits = 0
@@ -221,9 +235,11 @@ class LLMExtractionStage:
                         ):
                             self.cache[k] = v
 
-    def _cache_key(self, section: str) -> str:
+    def _cache_key(self, section: str, prompt: str) -> str:
         import hashlib
 
+        if self.cache_key_mode == "prompt":
+            return hashlib.md5(prompt.encode()).hexdigest()
         return hashlib.md5(
             (section + (self.instruction or "")).encode()
         ).hexdigest()
@@ -277,12 +293,17 @@ class LLMExtractionStage:
         usage = TokenUsage()
         for ix, section in enumerate(sections):
             try:
-                key = self._cache_key(section) if self.cache is not None else None
+                prompt = self._prompt(url, section)
+                key = (
+                    self._cache_key(section, prompt)
+                    if self.cache is not None
+                    else None
+                )
                 if key is not None and key in self.cache:
                     self.cache_hits += 1
                     text_resp = self.cache[key]  # no call → no token usage
                 else:
-                    resp = self.client.complete(self._prompt(url, section))
+                    resp = self.client.complete(prompt)
                     u = resp.get("usage", {})
                     usage.prompt_tokens += int(u.get("prompt_tokens", 0))
                     usage.completion_tokens += int(u.get("completion_tokens", 0))
@@ -290,7 +311,8 @@ class LLMExtractionStage:
                     text_resp = resp["text"]
                     if key is not None:
                         self.cache[key] = text_resp
-                        self._cache_new[key] = text_resp
+                        if self.cache_dir:  # write-behind only when persisted
+                            self._cache_new[key] = text_resp
                 for b in parse_blocks(text_resp):
                     b["chunk_index"] = ix
                     blocks.append(b)

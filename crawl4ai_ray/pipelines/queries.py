@@ -157,8 +157,11 @@ def revenue_by_nation(sf_dir: str):
 
         lookup = ray.get(lookup_ref)
         keys = b.column("o_custkey").to_pylist()
-        names = np.array([lookup[k] for k in keys])
+        # orphan FKs drop like the oracle's inner join ('' never a nation)
+        names = np.array([lookup.get(k, "") for k in keys])
         totals_c = cents(_np(b, "o_totalprice"))
+        keep = names != ""
+        names, totals_c = names[keep], totals_c[keep]
         uniq = np.unique(names)
         return pa.table(
             {
@@ -481,7 +484,13 @@ def llm_extract_demo(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
         LLMExtractionStage,
-        fn_constructor_kwargs=dict(instruction="summarize the key facts"),
+        # cache off HERE for row-wise determinism: with a cache, a
+        # duplicate doc's token columns depend on which actor its batch
+        # landed on (first actor pays, the rest hit) — the driver's
+        # repeated-run compare needs identical rows
+        fn_constructor_kwargs=dict(
+            instruction="summarize the key facts", response_cache=False
+        ),
         batch_format="pyarrow",
         concurrency=(1, 8),
         zero_copy_batch=True,
@@ -3430,7 +3439,11 @@ def revenue_rollup(sf_dir: str):
     grand levels fold from the TINY nation-level result on the driver
     (25 rows; a 100-TB fact table never re-scans for subtotals).  Exact
     int-cents arithmetic end-to-end, so every level matches SQL sums
-    bit-for-bit."""
+    bit-for-bit.  The customer→(region, nation) map broadcasts like
+    revenue_by_nation's (documented dimension-scale assumption — ~2 B/row
+    ints; a deployment where customer outgrows worker heaps swaps in the
+    customers_never_active tagged-union attach for that hop).  Orphan FKs
+    drop like the oracle's inner JOIN."""
     import pyarrow.parquet as pq
 
     cust = pq.read_table(
@@ -3466,7 +3479,10 @@ def revenue_rollup(sf_dir: str):
         totals_c = cents(_np(b, "o_totalprice"))
         agg: dict[tuple, list[int]] = {}
         for k, c in zip(b.column("o_custkey").to_pylist(), totals_c):
-            a = agg.setdefault(lookup[k], [0, 0])
+            pair = lookup.get(k)
+            if pair is None:  # orphan FK: inner-join semantics drop it
+                continue
+            a = agg.setdefault(pair, [0, 0])
             a[0] += int(c)
             a[1] += 1
         keys = sorted(agg)

@@ -49,10 +49,28 @@ from __future__ import annotations
 import os
 import threading
 
+def _accept_encoding() -> str:
+    """Advertise 'br' only when a brotli decoder is importable — otherwise
+    a brotli-capable CDN returns bytes urllib3 can't decode and the body
+    decodes to mojibake.  (The reference's aiohttp always has brotli; the
+    requests stack makes it optional.)"""
+    try:
+        import brotli  # noqa: F401
+
+        return "gzip, deflate, br"
+    except ImportError:
+        try:
+            import brotlicffi  # noqa: F401
+
+            return "gzip, deflate, br"
+        except ImportError:
+            return "gzip, deflate"
+
+
 _BASE_HEADERS = {
     "Accept": "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
     "Accept-Language": "en-US,en;q=0.5",
-    "Accept-Encoding": "gzip, deflate, br",
+    "Accept-Encoding": _accept_encoding(),
     "Connection": "keep-alive",
     "Upgrade-Insecure-Requests": "1",
     "User-Agent": "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36",
@@ -127,7 +145,12 @@ class HttpTransport:
         if hooks:
             self.set_hooks(hooks)
         self._tls = threading.local()
+        # bounded (FIFO-evicted): a long-lived fetch actor records meta for
+        # every URL it ever fetched; FetchStage only reads back the CURRENT
+        # batch's entries, so old ones are dead weight — cap well above any
+        # batch size instead of growing ~1 KB/URL forever
         self._meta: dict[str, dict] = {}
+        self._meta_cap = 65_536
         self._meta_lock = threading.Lock()
 
     # ------------------------------------------------------------ plumbing
@@ -164,6 +187,9 @@ class HttpTransport:
     def _record(self, url: str, **kv) -> None:
         with self._meta_lock:
             self._meta.setdefault(url, {}).update(kv)
+            while len(self._meta) > self._meta_cap:
+                # dicts iterate in insertion order → FIFO eviction
+                self._meta.pop(next(iter(self._meta)))
 
     def meta_of(self, url: str) -> dict:
         """Last fetch's metadata for ``url``: status, final_url,

@@ -116,11 +116,17 @@ def task_pairs_indices(
 
 
 DRIVER_PROBE_ROWS = 500_000
+# bounded-block regime needs floor ≥ 2 for EXACTNESS but also a floor high
+# enough that ≥f partials are genuinely rare — at floor 2-7 a dup-heavy
+# corpus could emit a constant fraction of its per-block distinct keys to
+# the driver (the driver-OOM class this module exists to avoid)
+MIN_SAFE_FLOOR = 8
 
 
 def _probe_oversized(
     sigs, group_cols: list[str], max_bucket: int,
     driver_rows_threshold: int = DRIVER_PROBE_ROWS,
+    wide_payload: bool = False,
 ) -> dict:
     """Find {group key tuple: m chunks} for every key whose bucket size can
     exceed ``max_bucket`` — see "oversize probe" in the module docstring.
@@ -129,7 +135,9 @@ def _probe_oversized(
     Size-adaptive (house pattern): at ≤ ``driver_rows_threshold`` banded
     rows the driver walks the already-materialized block refs directly
     (zero extra tasks, zero shuffle — saves the ~2 s fixed task-launch
-    latency that dominates this probe at bench scale); above it the
+    latency that dominates this probe at bench scale); ``wide_payload``
+    callers (per-row vectors etc.) project to the key columns first so
+    only narrow blocks cross to the driver.  Above the threshold the
     distributed regimes below run and the driver never holds more than
     the ≥f partials / over-cap keys."""
     num_blocks = max(1, sigs.num_blocks())
@@ -138,8 +146,9 @@ def _probe_oversized(
 
         import ray
 
+        src = sigs.select_columns(group_cols) if wide_payload else sigs
         cnt: Counter = Counter()
-        for ref in sigs.to_arrow_refs():
+        for ref in src.to_arrow_refs():
             blk = ray.get(ref)
             cols = [blk.column(c).to_pylist() for c in group_cols]
             if cols:
@@ -150,6 +159,8 @@ def _probe_oversized(
             if n > max_bucket
         }
     floor = max_bucket // num_blocks + 1
+    if floor < MIN_SAFE_FLOOR:
+        floor = 1  # fall through to the distributed scale regime
     key_sel = sigs.select_columns(group_cols)
 
     if floor >= 2:
@@ -260,7 +271,9 @@ def capped_group_pairs(
     # friendly, spills.
     sigs = ds.materialize()
 
-    oversized = _probe_oversized(sigs, group_cols, max_bucket)
+    oversized = _probe_oversized(
+        sigs, group_cols, max_bucket, wide_payload=bool(payload_cols)
+    )
 
     if not oversized:
         # fast path: identical to the uncapped pipeline shape

@@ -934,3 +934,27 @@ def test_llm_response_cache_skips_repeated_chunks(tmp_path):
     cold.extract_one("http://x/a", text)
     cold.extract_one("http://x/a", text)
     assert calls["n"] >= 2
+
+
+def test_llm_cache_prompt_mode_is_url_sensitive():
+    """cache_key='prompt' hashes the exact prompt, so the same content
+    under a different URL pays the call (no cross-document replay of a
+    URL-conditioned response); 'content' mode (reference parity) dedups
+    across documents."""
+    from crawl4ai_ray.functions.llm_extract import FakeLLMClient, LLMExtractionStage
+
+    calls = {"n": 0}
+
+    class CountingClient(FakeLLMClient):
+        def complete(self, prompt):
+            calls["n"] += 1
+            return super().complete(prompt)
+
+    text = "alpha beta gamma " * 10
+    strict = LLMExtractionStage(client_factory=CountingClient, cache_key="prompt")
+    strict.extract_one("http://x/a", text)
+    n1 = calls["n"]
+    strict.extract_one("http://x/b", text)   # different URL → different prompt
+    assert calls["n"] == 2 * n1
+    strict.extract_one("http://x/a", text)   # exact repeat → hit
+    assert calls["n"] == 2 * n1 and strict.cache_hits >= 1
