@@ -143,6 +143,17 @@ QUERY_NAMES = [
     "decontaminate_docs",
     "vocab_topk",
     "order_lineitem_totals",
+    # round-4 additions: fully-distributed text-stat finalizers (salted
+    # token attach replaces the driver-collected vocab broadcast),
+    # segment-row posting lists, and the four new operator classes
+    "doc_top_keywords",
+    "unigram_logprob_scores",
+    "bigram_collocations",
+    "posting_lists",
+    "customers_never_active",
+    "revenue_rollup",
+    "events_running_sum",
+    "customer_order_gaps",
 ]
 
 

@@ -1443,19 +1443,49 @@ def bigram_collocations(sf_dir: str, min_count: int = 5, k: int = 20):
             }
         )
 
+    def _gram_sum(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": g.column("kind").slice(0, 1),
+                "gram": g.column("gram").slice(0, 1),
+                "n": pa.array(
+                    [int(pc.sum(g.column("n")).as_py())], type=pa.int64()
+                ),
+            }
+        )
+
+    # pool-free sort-shuffle sum of the per-batch Counter partials
+    # (groupby().aggregate spins a multi-second hash-aggregator actor
+    # pool per call — the round-3 bucketcap lesson)
     counts = (
         ds.map_batches(_partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["kind", "gram"])
-        .aggregate(Sum("n", alias_name="n"))
+        .map_groups(_gram_sum, batch_format="pyarrow")
         .materialize()  # branches below reuse it: totals + both attach sides
     )
-    # kind totals over ALL grams (the PMI denominators) — computed
-    # distributed BEFORE the min-count floor so dropping the hapax tail
-    # can't skew them; 2 rows is all the driver ever holds here
-    totals = {
-        int(r["kind"]): int(r["n"])
-        for r in counts.groupby("kind").aggregate(Sum("n", alias_name="n")).take_all()
-    }
+
+    # kind totals over ALL grams (the PMI denominators) — computed BEFORE
+    # the min-count floor so dropping the hapax tail can't skew them.
+    # Per-block partial sums collapse to ≤ 2 rows per block, so the one
+    # take_all here is O(blocks) scalars, never vocab-sized.
+    def _total_partials(b: pa.Table) -> pa.Table:
+        kind = b.column("kind").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        ks = sorted(set(int(x) for x in kind))
+        return pa.table(
+            {
+                "kind": pa.array(ks, type=pa.int8()),
+                "n": pa.array(
+                    [int(n[kind == kk].sum()) for kk in ks], type=pa.int64()
+                ),
+            }
+        )
+
+    totals: dict[int, int] = {}
+    for r in counts.map_batches(
+        _total_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all():
+        totals[int(r["kind"])] = totals.get(int(r["kind"]), 0) + int(r["n"])
     tot_u, tot_b = totals.get(0, 0), totals.get(1, 0)
 
     def _bigram_parts(b: pa.Table) -> pa.Table:
@@ -1547,22 +1577,32 @@ def bigram_collocations(sf_dir: str, min_count: int = 5, k: int = 20):
     return top.map_batches(_round, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def doc_top_keywords(sf_dir: str, k: int = 3):
+def doc_top_keywords(sf_dir: str, k: int = 3,
+                     small_corpus_docs: int = 200_000):
     """Per-document TF-IDF keyword extraction (top-k tokens by
     tf·ln(N/df), comma-joined).
 
     Fully distributed (round-4: the round-3 shape collected the
     vocab-sized DF table into a driver dict and broadcast it — a
-    10⁸–10⁹-row OOM at web scale).  One (token, doc_id, tf) pair table
-    serves both sides: DF is a streaming groupby-count over it, and
-    _token_attach pins each token's df back onto its pairs — SALTED, so a
-    stopword token's df-sized message fan-in splits into 32 bounded
-    tasks.  A groupby(doc_id) then assembles each doc's top-k (group
-    size = the doc's distinct tokens).  Driver holds only the scalar doc
-    count.  Ties break by token asc; docs with no tokens are omitted
-    (both sides).  Same float-comparison fragility class as every
-    ln-scoring oracle: distinct (tf, df) pairs landing within 1 ulp could
-    rank-flip — never observed, and exact (tf, df) ties order
+    10⁸–10⁹-row OOM at web scale), size-adaptive like the dedup family:
+
+    * **small regime** (≤ ``small_corpus_docs`` docs — so any token's df,
+      bounded by the doc count, fits one group): ONE sort-shuffle
+      groupby(token) over the (token, doc_id, tf) pairs; the group IS the
+      token's postings, so df = group size comes free — no DF aggregate,
+      no aggregator actor pools, no second exchange for the lookup.
+    * **scale regime**: DF via per-batch Counter partials +
+      pool-free groupby(token) partial-sum (partial rows per token ≤
+      num batches, never df), then the SALTED _token_attach pins df onto
+      the pairs — a stopword token's df-sized message fan-in splits into
+      32 bounded tasks.
+
+    Both regimes finish with a groupby(doc_id) assembling each doc's
+    top-k (group = the doc's distinct tokens) and hold only scalars on
+    the driver.  Ties break by token asc; docs with no tokens are
+    omitted (both sides).  Same float-comparison fragility class as
+    every ln-scoring oracle: distinct (tf, df) pairs landing within 1
+    ulp could rank-flip — never observed, and exact (tf, df) ties order
     identically."""
     from collections import Counter
 
@@ -1588,20 +1628,8 @@ def doc_top_keywords(sf_dir: str, k: int = 3):
             }
         )
 
-    # pairs feed both the DF aggregate and the attach message side
-    pairs = ds.map_batches(
+    pairs_raw = ds.map_batches(
         _tf_pairs, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    # pairs are one row per distinct (token, doc) — each doc lives in
-    # exactly one batch and Counter dedups within it — so DF is a row
-    # count per token (streaming combiner aggregate, nothing driver-held)
-    df_tbl = pairs.groupby("token").aggregate(Count(alias_name="df"))
-
-    attached = _token_attach(
-        pairs, df_tbl,
-        msg_cols={"doc_id": pa.int64(), "tf": pa.int64()},
-        data_cols={"df": pa.int64()},
-        salt=32, msg_salt_col="doc_id",
     )
 
     def _per_doc(g: pa.Table) -> pa.Table:
@@ -1623,6 +1651,60 @@ def doc_top_keywords(sf_dir: str, k: int = 3):
             }
         )
 
+    if n_docs <= small_corpus_docs:
+        # small regime: df = token-group size, one sort shuffle total
+        def _df_in_group(g: pa.Table) -> pa.Table:
+            return g.append_column(
+                "df", pa.array([g.num_rows] * g.num_rows, type=pa.int64())
+            )
+
+        attached = pairs_raw.groupby("token").map_groups(
+            _df_in_group, batch_format="pyarrow"
+        )
+        return attached.groupby("doc_id").map_groups(
+            _per_doc, batch_format="pyarrow"
+        )
+
+    # scale regime: pairs feed both the DF computation and the attach side
+    pairs = pairs_raw.materialize()
+
+    def _df_partials(b: pa.Table) -> pa.Table:
+        # pairs are one row per distinct (token, doc) — each doc lives in
+        # exactly one batch and Counter dedups within it — so per-batch
+        # row counts per token ARE df partials (≤ num-batches rows per
+        # token cross the exchange, never df)
+        c = Counter(b.column("token").to_pylist())
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), type=pa.string()),
+                "df": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    def _df_sum(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "token": g.column("token").slice(0, 1),
+                "df": pa.array(
+                    [int(pc.sum(g.column("df")).as_py())], type=pa.int64()
+                ),
+            }
+        )
+
+    # pool-free sort-shuffle sum (groupby().aggregate spins a multi-second
+    # hash-aggregator actor pool per call — the round-3 bucketcap lesson)
+    df_tbl = (
+        pairs.map_batches(_df_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .map_groups(_df_sum, batch_format="pyarrow")
+    )
+
+    attached = _token_attach(
+        pairs, df_tbl,
+        msg_cols={"doc_id": pa.int64(), "tf": pa.int64()},
+        data_cols={"df": pa.int64()},
+        salt=32, msg_salt_col="doc_id",
+    )
     return attached.groupby("doc_id").map_groups(_per_doc, batch_format="pyarrow")
 
 
@@ -1725,7 +1807,7 @@ def _sql_pagerank(iters: int = 5, damping: float = 0.85, fanout: int = 3) -> str
     return f"WITH {chain}\nSELECT doc_id, pr FROM r{iters}\n"
 
 
-def unigram_logprob_scores(sf_dir: str):
+def unigram_logprob_scores(sf_dir: str, small_corpus_docs: int = 200_000):
     """CCNet-style language-model quality score, unigram stand-in: per doc,
     the mean −ln p(token) under the corpus unigram distribution (higher =
     more surprising/atypical — the perplexity-filter shape used to rank
@@ -1733,21 +1815,24 @@ def unigram_logprob_scores(sf_dir: str):
 
     Fully distributed (round-4: the round-3 shape collected the full
     corpus token-count table into a driver dict and broadcast it — a
-    10⁸–10⁹-row OOM at web-scale vocabularies).  One (token, doc_id, tf)
-    pair table serves both sides: corpus counts are a streaming
-    groupby-sum over it, and _token_attach pins each token's count back
-    onto its pairs (SALTED — a stopword's corpus-sized fan-in splits into
-    32 bounded tasks); a groupby(doc_id) folds −Σ tf·ln p / Σ tf.  Docs
+    10⁸–10⁹-row OOM at web-scale vocabularies), size-adaptive like
+    doc_top_keywords: at ≤ ``small_corpus_docs`` docs the token group IS
+    the postings (corpus count = Σ tf inside the group — one sort
+    shuffle, no aggregator pools); at scale, per-batch Counter partials →
+    pool-free groupby(token) partial-sum, then the SALTED _token_attach
+    pins counts onto pairs (a stopword's corpus-sized fan-in splits into
+    32 bounded tasks).  A groupby(doc_id) folds −Σ tf·ln p / Σ tf.  Docs
     with no tokens ride a sentinel pair (token "", tf 0; "" can never be
-    a real token) through the left attach so they still emit 0.0.  The
-    driver holds one scalar: the corpus token total.  OOV tokens are
-    impossible by construction (the vocab came from the same corpus), so
-    no smoothing term is needed."""
+    a real token) so they still emit 0.0.  The driver holds one scalar:
+    the corpus token total.  OOV tokens are impossible by construction
+    (the vocab came from the same corpus), so no smoothing term is
+    needed."""
     from collections import Counter
 
     from ..functions.textstats import tokens as _tokens
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
 
     def _tf_pairs(b: pa.Table) -> pa.Table:
         toks, ids, tfs = [], [], []
@@ -1776,24 +1861,63 @@ def unigram_logprob_scores(sf_dir: str):
         _tf_pairs, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    def _real(b: pa.Table) -> pa.Table:
-        return b.filter(pc.not_equal(b.column("token"), ""))
+    total = int(pairs.sum("tf") or 0)  # sentinels contribute 0
 
-    counts = (
-        pairs.map_batches(_real, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
-        .aggregate(Sum("tf", alias_name="n"))
-        .materialize()  # consumed twice: corpus total + attach data side
-    )
-    total = int(counts.sum("n") or 0)
+    if n_docs <= small_corpus_docs:
+        # small regime (df bounded by doc count): the token group IS the
+        # postings — corpus count = Σ tf within the group; one sort
+        # shuffle total, no aggregator pools, no second exchange
+        def _n_in_group(g: pa.Table) -> pa.Table:
+            n_tok = int(pc.sum(g.column("tf")).as_py() or 0)
+            return g.append_column(
+                "n", pa.array([n_tok] * g.num_rows, type=pa.int64())
+            )
 
-    attached = _token_attach(
-        pairs, counts,
-        msg_cols={"doc_id": pa.int64(), "tf": pa.int64()},
-        data_cols={"n": pa.int64()},
-        salt=32, msg_salt_col="doc_id",
-        keep_unmatched=True,  # sentinel "" rows have no count row
-    )
+        attached = pairs.groupby("token").map_groups(
+            _n_in_group, batch_format="pyarrow"
+        )
+    else:
+        # scale regime: per-batch Counter partials → pool-free
+        # groupby(token) partial-sum (≤ num-batches rows per token cross
+        # the exchange), then the salted attach pins counts onto pairs
+        def _count_partials(b: pa.Table) -> pa.Table:
+            agg: dict[str, int] = {}
+            for tok, tf in zip(
+                b.column("token").to_pylist(), b.column("tf").to_pylist()
+            ):
+                if tok:
+                    agg[tok] = agg.get(tok, 0) + tf
+            return pa.table(
+                {
+                    "token": pa.array(list(agg.keys()), type=pa.string()),
+                    "n": pa.array(list(agg.values()), type=pa.int64()),
+                }
+            )
+
+        def _count_sum(g: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "token": g.column("token").slice(0, 1),
+                    "n": pa.array(
+                        [int(pc.sum(g.column("n")).as_py())], type=pa.int64()
+                    ),
+                }
+            )
+
+        counts = (
+            pairs.map_batches(
+                _count_partials, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("token")
+            .map_groups(_count_sum, batch_format="pyarrow")
+        )
+        attached = _token_attach(
+            pairs, counts,
+            msg_cols={"doc_id": pa.int64(), "tf": pa.int64()},
+            data_cols={"n": pa.int64()},
+            salt=32, msg_salt_col="doc_id",
+            keep_unmatched=True,  # sentinel "" rows have no count row
+        )
 
     def _per_doc(g: pa.Table) -> pa.Table:
         tf = g.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)

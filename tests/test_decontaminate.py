@@ -222,13 +222,14 @@ def test_text_stat_finalizers_hold_no_vocab_on_driver():
 
     for fn in (q.doc_top_keywords, q.unigram_logprob_scores, q.posting_lists):
         src = inspect.getsource(fn)
-        for banned in ("take_all", "iter_batches", "iter_rows", "to_pandas", "ray.put"):
+        for banned in (".take_all(", ".iter_batches(", ".iter_rows(",
+                       ".to_pandas(", "ray.put("):
             assert banned not in src, (fn.__name__, banned)
     src = inspect.getsource(q.bigram_collocations)
-    for banned in ("iter_batches", "iter_rows", "to_pandas", "ray.put"):
+    for banned in (".iter_batches(", ".iter_rows(", ".to_pandas(", "ray.put("):
         assert banned not in src, ("bigram_collocations", banned)
-    # the one allowed take_all is the 2-row kind-total aggregate
-    assert src.count("take_all") == 1
+    # the one allowed take_all call is the O(blocks)-row kind-total fold
+    assert src.count(".take_all(") == 1
 
 
 # ------------------------------------------------------------- funnel stages
