@@ -1261,8 +1261,9 @@ def _token_attach(msg, data, msg_cols: dict, data_cols: dict,
     hashed from ``msg_salt_col`` and each data row replicates to every
     sub-key, so a stopword token whose message side is df-sized becomes
     ``salt`` bounded linear tasks instead of one corpus-sized group.
-    Cost of the insurance: the narrow data side ships ``salt``× (vocab ×
-    salt rows through the one shuffle — cheap next to the message side).
+    Cost of the insurance: the narrow data side replicates ``salt``×
+    (vocab × salt two-column rows through the one shuffle — cheap next
+    to the message side).
 
     ``keep_unmatched=True`` keeps message rows with no data row (data
     columns null) — the left-join shape; default drops them (inner).
