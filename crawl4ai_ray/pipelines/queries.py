@@ -3719,6 +3719,87 @@ def customer_order_gaps(sf_dir: str):
     return ds.groupby("o_custkey").map_groups(_gaps, batch_format="pyarrow")
 
 
+def top_suppliers_by_revenue(sf_dir: str, k: int = 10):
+    """Star aggregation over the supplier dimension: per-supplier
+    discounted lineitem revenue (exact int cents, the q1 money rule) →
+    top-k.  Ray shape: per-batch cents partials keyed l_suppkey (one row
+    per (batch, supplier) crosses the exchange), pool-free groupby sum,
+    distributed sort().limit(k) on the supplier-grain table, then the
+    dim-small supplier names attach in the final map.  The top-k cut
+    orders by exact cents then suppkey, so both sides cut identically."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    names = dict(
+        zip(sup.column("s_suppkey").to_pylist(), sup.column("s_name").to_pylist())
+    )
+    names_ref = ray.put(names)
+
+    def _partials(b: pa.Table) -> pa.Table:
+        from ..functions.numeric import cents
+
+        rev_c = cents(
+            _np(b, "l_extendedprice") * (1.0 - _np(b, "l_discount"))
+        )
+        keys = np.asarray(b.column("l_suppkey").to_numpy(zero_copy_only=False))
+        uniq = np.unique(keys)
+        return pa.table(
+            {
+                "l_suppkey": pa.array(uniq.tolist(), type=pa.int64()),
+                "rc": pa.array(
+                    [int(rev_c[keys == s].sum()) for s in uniq], type=pa.int64()
+                ),
+                "n_items": pa.array(
+                    [int((keys == s).sum()) for s in uniq], type=pa.int64()
+                ),
+            }
+        )
+
+    def _sum(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_suppkey": g.column("l_suppkey").slice(0, 1),
+                "rc": pa.array(
+                    [int(pc.sum(g.column("rc")).as_py())], type=pa.int64()
+                ),
+                "n_items": pa.array(
+                    [int(pc.sum(g.column("n_items")).as_py())], type=pa.int64()
+                ),
+            }
+        )
+
+    top = (
+        _read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey")
+        .map_groups(_sum, batch_format="pyarrow")
+        .sort(["rc", "l_suppkey"], descending=[True, False])
+        .limit(k)
+    )
+
+    def _name(b: pa.Table) -> pa.Table:
+        lookup = ray.get(names_ref)
+        ks = b.column("l_suppkey").to_pylist()
+        return pa.table(
+            {
+                "s_suppkey": pa.array(ks, type=pa.int64()),
+                "s_name": pa.array(
+                    [lookup.get(s, "") for s in ks], type=pa.string()
+                ),
+                "revenue": pa.array(
+                    [c / 100.0 for c in b.column("rc").to_pylist()],
+                    type=pa.float64(),
+                ),
+                "n_items": b.column("n_items"),
+            }
+        )
+
+    return top.map_batches(_name, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ORDER MATTERS: the round driver evaluates only the FIRST 50 entries per
 # round, so the window must be 100% oracle-backed (round-3 verdict item
 # #2).  Layout: [1..50] the most load-bearing DuckDB-oracled pipelines —
@@ -3778,6 +3859,7 @@ QUERIES = {
     "table_roundtrip": table_roundtrip,
     "bm25_rank_docs": bm25_rank_docs,
     # -------- oracled variants outside the 50-slot window --------
+    "top_suppliers_by_revenue": top_suppliers_by_revenue,
     "part_type_stats": part_type_stats,
     "token_counts_bpe": token_counts_bpe,
     "chunks_sliding": chunks_sliding,
@@ -4217,6 +4299,18 @@ ORACLE_SQL = {
         SELECT token, doc_id // 200 AS rk, count(*) AS n,
                array_to_string(list_sort(list(doc_id)), ',') AS ids
         FROM p GROUP BY token, doc_id // 200
+    """,
+    "top_suppliers_by_revenue": """
+        WITH r AS (
+            SELECT l_suppkey,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT)) AS rc,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.rc / 100.0 AS revenue, r.n_items
+        FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        ORDER BY r.rc DESC, s.s_suppkey LIMIT 10
     """,
     "customers_never_active": """
         SELECT c_custkey, c_mktsegment FROM customer c
