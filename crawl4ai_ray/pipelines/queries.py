@@ -3800,6 +3800,71 @@ def top_suppliers_by_revenue(sf_dir: str, k: int = 10):
     return top.map_batches(_name, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def events_props_stats(sf_dir: str):
+    """Semi-structured JSON-property extraction — the ETL class the other
+    queries don't cover: parse the ``props`` JSON string column, pull the
+    ``k`` field, aggregate per event type (count, avg, max).  Ray shape:
+    per-batch parse + partial (sum, cnt, max) rows keyed event_type (one
+    row per (batch, type) crosses the exchange — the payload JSON never
+    shuffles), pool-free groupby fold.  Null/unparseable props are
+    excluded from avg/max like SQL's NULL semantics; row count includes
+    them."""
+    import json as _json
+
+    from ..functions.numeric import duck_round
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def _partials(b: pa.Table) -> pa.Table:
+        agg: dict[str, list] = {}
+        for et, p in zip(
+            b.column("event_type").to_pylist(), b.column("props").to_pylist()
+        ):
+            a = agg.setdefault(et, [0, 0, 0, None])  # n, sum_k, cnt_k, max_k
+            a[0] += 1
+            if p:
+                try:
+                    k = _json.loads(p).get("k")
+                except (ValueError, AttributeError):
+                    k = None
+                if k is not None:
+                    a[1] += int(k)
+                    a[2] += 1
+                    a[3] = int(k) if a[3] is None else max(a[3], int(k))
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "event_type": pa.array(keys, type=pa.string()),
+                "n": pa.array([agg[k][0] for k in keys], type=pa.int64()),
+                "sum_k": pa.array([agg[k][1] for k in keys], type=pa.int64()),
+                "cnt_k": pa.array([agg[k][2] for k in keys], type=pa.int64()),
+                "max_k": pa.array([agg[k][3] for k in keys], type=pa.int64()),
+            }
+        )
+
+    def _fold(g: pa.Table) -> pa.Table:
+        sum_k = int(pc.sum(g.column("sum_k")).as_py() or 0)
+        cnt_k = int(pc.sum(g.column("cnt_k")).as_py() or 0)
+        mx = pc.max(g.column("max_k")).as_py()
+        avg = float(duck_round(sum_k / cnt_k, 4)) if cnt_k else None
+        return pa.table(
+            {
+                "event_type": g.column("event_type").slice(0, 1),
+                "n": pa.array(
+                    [int(pc.sum(g.column("n")).as_py() or 0)], type=pa.int64()
+                ),
+                "avg_k": pa.array([avg], type=pa.float64()),
+                "max_k": pa.array([mx], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(_fold, batch_format="pyarrow")
+    )
+
+
 # ORDER MATTERS: the round driver evaluates only the FIRST 50 entries per
 # round, so the window must be 100% oracle-backed (round-3 verdict item
 # #2).  Layout: [1..50] the most load-bearing DuckDB-oracled pipelines —
@@ -3860,6 +3925,7 @@ QUERIES = {
     "bm25_rank_docs": bm25_rank_docs,
     # -------- oracled variants outside the 50-slot window --------
     "top_suppliers_by_revenue": top_suppliers_by_revenue,
+    "events_props_stats": events_props_stats,
     "part_type_stats": part_type_stats,
     "token_counts_bpe": token_counts_bpe,
     "chunks_sliding": chunks_sliding,
@@ -4299,6 +4365,13 @@ ORACLE_SQL = {
         SELECT token, doc_id // 200 AS rk, count(*) AS n,
                array_to_string(list_sort(list(doc_id)), ',') AS ids
         FROM p GROUP BY token, doc_id // 200
+    """,
+    "events_props_stats": """
+        SELECT event_type, count(*) AS n,
+               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+                   AS avg_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
     """,
     "top_suppliers_by_revenue": """
         WITH r AS (
