@@ -228,7 +228,14 @@ class LLMExtractionStage:
             if os.path.isdir(cache_dir):
                 for f in sorted(os.listdir(cache_dir)):
                     if f.endswith(".parquet"):
-                        t = pq.read_table(os.path.join(cache_dir, f))
+                        # A sibling actor may be mid-flush; writes go
+                        # temp-then-rename so a *.parquet name is complete,
+                        # but tolerate any straggler/corrupt file anyway —
+                        # a missed warm entry is just a future cache miss.
+                        try:
+                            t = pq.read_table(os.path.join(cache_dir, f))
+                        except Exception:
+                            continue
                         for k, v in zip(
                             t.column("key").to_pylist(),
                             t.column("response").to_pylist(),
@@ -266,9 +273,12 @@ class LLMExtractionStage:
                 ),
             }
         )
-        pq.write_table(
-            t, os.path.join(self.cache_dir, f"llmcache-{uuid.uuid4().hex}.parquet")
-        )
+        # Temp-name + atomic rename: sibling actors warm-load the directory
+        # at construction, so a half-written *.parquet must never be visible.
+        stem = f"llmcache-{uuid.uuid4().hex}"
+        tmp = os.path.join(self.cache_dir, f".{stem}.tmp")
+        pq.write_table(t, tmp)
+        os.rename(tmp, os.path.join(self.cache_dir, f"{stem}.parquet"))
         n = t.num_rows
         self._cache_new = {}
         return n

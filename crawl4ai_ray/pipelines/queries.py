@@ -129,60 +129,177 @@ def q1_pricing_summary(sf_dir: str):
     return pa.Table.from_pylist(out)
 
 
-def revenue_by_nation(sf_dir: str):
-    """Broadcast join orders→customer→nation + partial agg (SURVEY.md §2.6:
-    small dimension tables ride ray.put, only the fact table streams)."""
+# Size-adaptive dim-join regime switch: spec-bounded dimensions (nation=25,
+# region=5 rows) ALWAYS broadcast; the customer dimension scales with the
+# fact data (10^8-10^10 rows at the 100-TB design point), so it broadcasts
+# only below this row count — above it the dim rides the cluster as a
+# Dataset and attaches via the tagged-union key attach (_token_attach,
+# key_col="c_custkey").  The threshold is checked against parquet METADATA
+# (no data read) so the driver never materializes an over-threshold dim.
+DIM_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet footer metadata only — O(files), no column IO."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(glob.glob(os.path.join(path, "*.parquet")))
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _orders_custkey_partials(sf_dir: str):
+    """Per-batch exact-cents revenue partials keyed o_custkey: one row per
+    (batch, customer) crosses the exchange, never one per order."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        from ..functions.numeric import cents
+
+        totals_c = cents(_np(b, "o_totalprice"))
+        keys = np.asarray(b.column("o_custkey").to_numpy(zero_copy_only=False))
+        uniq, inv = np.unique(keys, return_inverse=True)
+        rc = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(rc, inv, totals_c)
+        return pa.table(
+            {
+                "c_custkey": pa.array(uniq.tolist(), type=pa.int64()),
+                "revenue_c": pa.array(rc.tolist(), type=pa.int64()),
+                "n_orders": pa.array(
+                    np.bincount(inv).astype(np.int64).tolist(), type=pa.int64()
+                ),
+            }
+        )
+
+    return _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+
+
+def revenue_by_nation(sf_dir: str,
+                      dim_broadcast_threshold: int = DIM_BROADCAST_MAX_ROWS):
+    """Orders→customer→nation revenue rollup, size-adaptive on the customer
+    dimension (SURVEY.md §2.6).  Broadcast regime (dim ≤ threshold rows):
+    custkey→nation dict rides ray.put, only the fact table streams.  Scale
+    regime (dim above threshold): the customer dim is NEVER materialized on
+    the driver — per-batch custkey-grain cents partials attach the nation
+    name via the tagged-union key attach (one all-to-all on c_custkey),
+    then a second per-batch partial folds to the 25-row nation grain.
+    Orphan FKs drop like the oracle's inner join in both regimes."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")  # spec-bounded: 25 rows
     nk_to_name = dict(
         zip(
             nation.column("n_nationkey").to_pylist(),
             nation.column("n_name").to_pylist(),
         )
     )
-    cust_to_nation = {
-        ck: nk_to_name[nk]
-        for ck, nk in zip(
-            cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()
-        )
-    }
-    lookup_ref = ray.put(cust_to_nation)
 
-    def _partial(b: pa.Table) -> pa.Table:
-        from ..functions.numeric import cents
+    n_cust = _parquet_num_rows(f"{sf_dir}/customer.parquet")
+    if n_cust <= dim_broadcast_threshold:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        cust_to_nation = {
+            ck: nk_to_name[nk]
+            for ck, nk in zip(
+                cust.column("c_custkey").to_pylist(),
+                cust.column("c_nationkey").to_pylist(),
+            )
+        }
+        lookup_ref = ray.put(cust_to_nation)
 
-        lookup = ray.get(lookup_ref)
-        keys = b.column("o_custkey").to_pylist()
-        # orphan FKs drop like the oracle's inner join ('' never a nation)
-        names = np.array([lookup.get(k, "") for k in keys])
-        totals_c = cents(_np(b, "o_totalprice"))
-        keep = names != ""
-        names, totals_c = names[keep], totals_c[keep]
-        uniq = np.unique(names)
-        return pa.table(
-            {
-                "n_name": pa.array(uniq.tolist(), type=pa.string()),
-                "revenue_c": pa.array(
-                    [int(totals_c[names == n].sum()) for n in uniq], type=pa.int64()
-                ),
-                "n_orders": pa.array(
-                    [int((names == n).sum()) for n in uniq], type=pa.int64()
-                ),
-            }
+        def _partial(b: pa.Table) -> pa.Table:
+            from ..functions.numeric import cents
+
+            lookup = ray.get(lookup_ref)
+            keys = b.column("o_custkey").to_pylist()
+            # orphan FKs drop like the oracle's inner join ('' never a nation)
+            names = np.array([lookup.get(k, "") for k in keys])
+            totals_c = cents(_np(b, "o_totalprice"))
+            keep = names != ""
+            names, totals_c = names[keep], totals_c[keep]
+            uniq, inv = np.unique(names, return_inverse=True)
+            rc = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(rc, inv, totals_c)
+            return pa.table(
+                {
+                    "n_name": pa.array(uniq.tolist(), type=pa.string()),
+                    "revenue_c": pa.array(rc.tolist(), type=pa.int64()),
+                    "n_orders": pa.array(
+                        np.bincount(inv).astype(np.int64).tolist(),
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
+        nation_grain = _read(
+            sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+        ).map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        nk_ref = ray.put(nk_to_name)
+
+        def _cust_dim(b: pa.Table) -> pa.Table:
+            lookup = ray.get(nk_ref)
+            names = [
+                lookup.get(nk, "")
+                for nk in b.column("c_nationkey").to_pylist()
+            ]
+            t = pa.table(
+                {
+                    "c_custkey": b.column("c_custkey"),
+                    "n_name": pa.array(names, type=pa.string()),
+                }
+            )
+            return t.filter(pc.not_equal(t.column("n_name"), ""))
+
+        cust_ds = _read(
+            sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+        ).map_batches(_cust_dim, batch_format="pyarrow", zero_copy_batch=True)
+
+        attached = _token_attach(
+            _orders_custkey_partials(sf_dir),
+            cust_ds,
+            msg_cols={"revenue_c": pa.int64(), "n_orders": pa.int64()},
+            data_cols={"n_name": pa.string()},
+            key_col="c_custkey",
+            key_type=pa.int64(),
         )
 
-    agg = (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("n_name")
-        .aggregate(
-            Sum(on="revenue_c", alias_name="revenue_c"),
-            Sum(on="n_orders", alias_name="n_orders"),
+        def _nation_partial(b: pa.Table) -> pa.Table:
+            names = np.asarray(b.column("n_name").to_pylist(), dtype=object)
+            uniq, inv = np.unique(names.astype(str), return_inverse=True)
+            rc = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(
+                rc, inv,
+                np.asarray(b.column("revenue_c").to_numpy(zero_copy_only=False)),
+            )
+            cnt = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(
+                cnt, inv,
+                np.asarray(b.column("n_orders").to_numpy(zero_copy_only=False)),
+            )
+            return pa.table(
+                {
+                    "n_name": pa.array(uniq.tolist(), type=pa.string()),
+                    "revenue_c": pa.array(rc.tolist(), type=pa.int64()),
+                    "n_orders": pa.array(cnt.tolist(), type=pa.int64()),
+                }
+            )
+
+        nation_grain = attached.map_batches(
+            _nation_partial, batch_format="pyarrow", zero_copy_batch=True
         )
+
+    agg = nation_grain.groupby("n_name").aggregate(
+        Sum(on="revenue_c", alias_name="revenue_c"),
+        Sum(on="n_orders", alias_name="n_orders"),
     )
     return pa.Table.from_pylist(
         [
@@ -828,23 +945,26 @@ def order_lineitem_totals(sf_dir: str):
     return u.groupby("key").map_groups(_attach, batch_format="pyarrow")
 
 
-def top_orders_per_segment(sf_dir: str, n: int = 3):
+def top_orders_per_segment(sf_dir: str, n: int = 3,
+                           dim_broadcast_threshold: int | None = None):
     """Group-wise top-N (the window row_number()<=N shape the Dataset API
     lacks natively): top orders by price per market segment.  Scale trick:
     each batch pre-prunes to its LOCAL top-N per segment before the
     shuffle — the exchange carries ≤ N×segments rows per batch, never the
-    fact table — then per-segment groups pick the global top-N.  Segment
-    comes from a broadcast customer dict (revenue_by_nation pattern).
-    Total order (price DESC, orderkey ASC) on both sides."""
+    fact table — then per-segment groups pick the global top-N.  Total
+    order (price DESC, orderkey ASC) on both sides.
+
+    Size-adaptive on the customer dim (the revenue_by_nation switch):
+    below the threshold the custkey→segment dict broadcasts; above it the
+    dim stays a Dataset and segment attaches via the tagged-union key
+    attach — sound because an order in a segment's global top-N is
+    necessarily in its OWN customer's top-N, so batches first prune to
+    per-custkey top-N (≤ n × per-batch-distinct custkeys rows cross the
+    attach), then the usual per-segment prune + group pick run after."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    seg_of = dict(
-        zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())
-    )
-    lookup_ref = ray.put(seg_of)
+    if dim_broadcast_threshold is None:
+        dim_broadcast_threshold = DIM_BROADCAST_MAX_ROWS
 
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
@@ -854,35 +974,110 @@ def top_orders_per_segment(sf_dir: str, n: int = 3):
         )
         return t.take(order.slice(0, n))
 
-    class _LocalTop:
-        def __init__(self, ref):
-            self.seg_of = ray.get(ref)
+    def _seg_local_top(t: pa.Table) -> pa.Table:
+        seg = t.column("segment")
+        parts = []
+        for s in pc.unique(seg).to_pylist():
+            parts.append(_topn(t.filter(pc.equal(seg, s))))
+        return pa.concat_tables(parts) if parts else t.slice(0, 0)
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            # .get → drop unmatched custkeys = the oracle's inner-join row drop
-            seg = pa.array(
-                [self.seg_of.get(c) for c in b.column("o_custkey").to_pylist()],
-                type=pa.string(),
+    n_cust = _parquet_num_rows(f"{sf_dir}/customer.parquet")
+    if n_cust <= dim_broadcast_threshold:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        seg_of = dict(
+            zip(cust.column("c_custkey").to_pylist(),
+                cust.column("c_mktsegment").to_pylist())
+        )
+        lookup_ref = ray.put(seg_of)
+
+        class _LocalTop:
+            def __init__(self, ref):
+                self.seg_of = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                # .get → drop unmatched custkeys = oracle's inner-join drop
+                seg = pa.array(
+                    [self.seg_of.get(c)
+                     for c in b.column("o_custkey").to_pylist()],
+                    type=pa.string(),
+                )
+                t = pa.table(
+                    {
+                        "segment": seg,
+                        "o_orderkey": b.column("o_orderkey"),
+                        "o_totalprice": b.column("o_totalprice"),
+                    }
+                ).filter(pc.is_valid(seg))
+                return _seg_local_top(t)
+
+        pruned = ds.map_batches(
+            _LocalTop,
+            fn_constructor_kwargs=dict(ref=lookup_ref),
+            concurrency=(1, 8),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        # scale regime: per-custkey local top-N prune, then attach segment
+        def _cust_top(b: pa.Table) -> pa.Table:
+            order = pc.sort_indices(
+                b,
+                sort_keys=[("o_totalprice", "descending"),
+                           ("o_orderkey", "ascending")],
             )
-            t = pa.table(
-                {
-                    "segment": seg,
-                    "o_orderkey": b.column("o_orderkey"),
-                    "o_totalprice": b.column("o_totalprice"),
-                }
-            ).filter(pc.is_valid(seg))
-            parts = []
-            for s in pc.unique(seg).to_pylist():
-                parts.append(_topn(t.filter(pc.equal(t.column("segment"), s))))
-            return pa.concat_tables(parts) if parts else t.slice(0, 0)
+            t = b.take(order)
+            keys = np.asarray(
+                t.column("o_custkey").to_numpy(zero_copy_only=False)
+            )
+            # stable rank within custkey over the price-sorted table
+            import collections
 
-    pruned = ds.map_batches(
-        _LocalTop,
-        fn_constructor_kwargs=dict(ref=lookup_ref),
-        concurrency=(1, 8),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+            seen: collections.Counter = collections.Counter()
+            keep = np.empty(len(keys), dtype=bool)
+            for i, k in enumerate(keys):
+                seen[k] += 1
+                keep[i] = seen[k] <= n
+            t = t.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "c_custkey": t.column("o_custkey"),
+                    "o_orderkey": t.column("o_orderkey"),
+                    "o_totalprice": t.column("o_totalprice"),
+                }
+            )
+
+        cust_ds = _read(
+            sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": b.column("c_custkey"),
+                    "segment": b.column("c_mktsegment"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+        attached = _token_attach(
+            ds.map_batches(
+                _cust_top, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            cust_ds,
+            msg_cols={"o_orderkey": pa.int64(), "o_totalprice": pa.float64()},
+            data_cols={"segment": pa.string()},
+            key_col="c_custkey",
+            key_type=pa.int64(),
+        )
+        pruned = attached.map_batches(
+            lambda b: _seg_local_top(b.select(
+                ["segment", "o_orderkey", "o_totalprice"]
+            )),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     return pruned.groupby("segment").map_groups(_topn, batch_format="pyarrow")
 
 
@@ -1250,7 +1445,9 @@ _SALT_MIX = 0x9E3779B97F4A7C15
 
 def _token_attach(msg, data, msg_cols: dict, data_cols: dict,
                   salt: int = 1, msg_salt_col: str | None = None,
-                  keep_unmatched: bool = False):
+                  keep_unmatched: bool = False,
+                  key_col: str = "token",
+                  key_type: pa.DataType | None = None):
     """Distributed per-token lookup: attach ``data``'s columns (ONE row per
     token — a DF table, corpus counts, …) onto ``msg`` rows sharing the
     token, WITHOUT collecting the vocab-sized data table to the driver.
@@ -1267,8 +1464,13 @@ def _token_attach(msg, data, msg_cols: dict, data_cols: dict,
 
     ``keep_unmatched=True`` keeps message rows with no data row (data
     columns null) — the left-join shape; default drops them (inner).
-    Output columns: token + msg_cols + data_cols."""
+    Output columns: key_col + msg_cols + data_cols.
+
+    ``key_col``/``key_type`` generalize the join key beyond the text
+    pipelines' string "token" (e.g. an int64 ``c_custkey`` for the
+    revenue dim attach); both input Datasets must expose that column."""
     n_salt = max(1, int(salt))
+    k_type = key_type if key_type is not None else pa.string()
 
     def _msg_side(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -1282,7 +1484,7 @@ def _token_attach(msg, data, msg_cols: dict, data_cols: dict,
         else:
             sv = np.zeros(n, dtype=np.int32)
         cols = {
-            "token": b.column("token"),
+            key_col: b.column(key_col),
             "_salt": pa.array(sv, type=pa.int32()),
             "_is_data": pa.array(np.zeros(n, dtype=bool)),
         }
@@ -1298,7 +1500,7 @@ def _token_attach(msg, data, msg_cols: dict, data_cols: dict,
         rep = b.take(idx)
         m = rep.num_rows
         cols = {
-            "token": rep.column("token"),
+            key_col: rep.column(key_col),
             "_salt": pa.array(
                 np.tile(np.arange(n_salt, dtype=np.int32), n), type=pa.int32()
             ),
@@ -1315,7 +1517,7 @@ def _token_attach(msg, data, msg_cols: dict, data_cols: dict,
     )
 
     out_fields = (
-        [("token", pa.string())]
+        [(key_col, k_type)]
         + [(c, t) for c, t in msg_cols.items()]
         + [(c, t) for c, t in data_cols.items()]
     )
@@ -1327,7 +1529,7 @@ def _token_attach(msg, data, msg_cols: dict, data_cols: dict,
             return pa.table(
                 {c: pa.array([], type=t) for c, t in out_fields}
             )
-        cols = {"token": msgs.column("token")}
+        cols = {key_col: msgs.column(key_col)}
         for c in msg_cols:
             cols[c] = msgs.column(c)
         if is_data.any():
@@ -1340,7 +1542,7 @@ def _token_attach(msg, data, msg_cols: dict, data_cols: dict,
                 cols[c] = pa.nulls(msgs.num_rows, type=t)
         return pa.table(cols)
 
-    return u.groupby(["token", "_salt"]).map_groups(_attach, batch_format="pyarrow")
+    return u.groupby([key_col, "_salt"]).map_groups(_attach, batch_format="pyarrow")
 
 
 def posting_lists(sf_dir: str, range_width: int = 200):
@@ -3556,7 +3758,8 @@ def customers_never_active(sf_dir: str):
     return u.groupby("key").map_groups(_keep_inactive, batch_format="pyarrow")
 
 
-def revenue_rollup(sf_dir: str):
+def revenue_rollup(sf_dir: str,
+                   dim_broadcast_threshold: int = DIM_BROADCAST_MAX_ROWS):
     """GROUPING SETS / ROLLUP(region, nation) over order revenue: nation
     rows + per-region subtotals + a grand total, NULL-padded like SQL.
     Ray shape: ONE distributed cents aggregate at the finest (nation)
@@ -3564,18 +3767,15 @@ def revenue_rollup(sf_dir: str):
     grand levels fold from the TINY nation-level result on the driver
     (25 rows; a 100-TB fact table never re-scans for subtotals).  Exact
     int-cents arithmetic end-to-end, so every level matches SQL sums
-    bit-for-bit.  The customer→(region, nation) map broadcasts like
-    revenue_by_nation's (documented dimension-scale assumption — ~2 B/row
-    ints; a deployment where customer outgrows worker heaps swaps in the
-    customers_never_active tagged-union attach for that hop).  Orphan FKs
-    drop like the oracle's inner JOIN."""
+    bit-for-bit.  The customer→(region, nation) hop is size-adaptive
+    exactly like revenue_by_nation: dict broadcast below
+    DIM_BROADCAST_MAX_ROWS, tagged-union key attach on c_custkey above
+    (the customer dim never touches the driver in that regime).  Orphan
+    FKs drop like the oracle's inner JOIN."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    nation = pq.read_table(f"{sf_dir}/nation.parquet")
-    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")  # spec-bounded: 25
+    region = pq.read_table(f"{sf_dir}/region.parquet")  # spec-bounded: 5
     rk_to_region = dict(
         zip(region.column("r_regionkey").to_pylist(),
             region.column("r_name").to_pylist())
@@ -3588,42 +3788,113 @@ def revenue_rollup(sf_dir: str):
             nation.column("n_regionkey").to_pylist(),
         )
     }
-    cust_to_pair = {
-        ck: nk_to_pair[nk]
-        for ck, nk in zip(
-            cust.column("c_custkey").to_pylist(),
-            cust.column("c_nationkey").to_pylist(),
-        )
-    }
-    lookup_ref = ray.put(cust_to_pair)
 
-    def _partial(b: pa.Table) -> pa.Table:
-        from ..functions.numeric import cents
-
-        lookup = ray.get(lookup_ref)
-        totals_c = cents(_np(b, "o_totalprice"))
-        agg: dict[tuple, list[int]] = {}
-        for k, c in zip(b.column("o_custkey").to_pylist(), totals_c):
-            pair = lookup.get(k)
-            if pair is None:  # orphan FK: inner-join semantics drop it
-                continue
-            a = agg.setdefault(pair, [0, 0])
-            a[0] += int(c)
-            a[1] += 1
-        keys = sorted(agg)
+    def _fine_partial_cols(pairs: list, totals_c, counts) -> pa.Table:
         return pa.table(
             {
-                "r_name": pa.array([k[0] for k in keys], type=pa.string()),
-                "n_name": pa.array([k[1] for k in keys], type=pa.string()),
-                "revenue_c": pa.array([agg[k][0] for k in keys], type=pa.int64()),
-                "n_orders": pa.array([agg[k][1] for k in keys], type=pa.int64()),
+                "r_name": pa.array([p[0] for p in pairs], type=pa.string()),
+                "n_name": pa.array([p[1] for p in pairs], type=pa.string()),
+                "revenue_c": pa.array(totals_c, type=pa.int64()),
+                "n_orders": pa.array(counts, type=pa.int64()),
             }
         )
 
+    n_cust = _parquet_num_rows(f"{sf_dir}/customer.parquet")
+    if n_cust <= dim_broadcast_threshold:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        cust_to_pair = {
+            ck: nk_to_pair[nk]
+            for ck, nk in zip(
+                cust.column("c_custkey").to_pylist(),
+                cust.column("c_nationkey").to_pylist(),
+            )
+        }
+        lookup_ref = ray.put(cust_to_pair)
+
+        def _partial(b: pa.Table) -> pa.Table:
+            from ..functions.numeric import cents
+
+            lookup = ray.get(lookup_ref)
+            totals_c = cents(_np(b, "o_totalprice"))
+            agg: dict[tuple, list[int]] = {}
+            for k, c in zip(b.column("o_custkey").to_pylist(), totals_c):
+                pair = lookup.get(k)
+                if pair is None:  # orphan FK: inner-join semantics drop it
+                    continue
+                a = agg.setdefault(pair, [0, 0])
+                a[0] += int(c)
+                a[1] += 1
+            keys = sorted(agg)
+            return _fine_partial_cols(
+                keys, [agg[k][0] for k in keys], [agg[k][1] for k in keys]
+            )
+
+        fine_grain = _read(
+            sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+        ).map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        nk_ref = ray.put(nk_to_pair)
+
+        def _cust_dim(b: pa.Table) -> pa.Table:
+            lookup = ray.get(nk_ref)
+            pairs = [
+                lookup.get(nk) for nk in b.column("c_nationkey").to_pylist()
+            ]
+            keep = [i for i, p in enumerate(pairs) if p is not None]
+            t = pa.table(
+                {
+                    "c_custkey": b.column("c_custkey"),
+                    "r_name": pa.array(
+                        [pairs[i][0] if pairs[i] else "" for i in
+                         range(len(pairs))],
+                        type=pa.string(),
+                    ),
+                    "n_name": pa.array(
+                        [pairs[i][1] if pairs[i] else "" for i in
+                         range(len(pairs))],
+                        type=pa.string(),
+                    ),
+                }
+            )
+            return t.take(pa.array(keep, type=pa.int64()))
+
+        cust_ds = _read(
+            sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+        ).map_batches(_cust_dim, batch_format="pyarrow", zero_copy_batch=True)
+
+        attached = _token_attach(
+            _orders_custkey_partials(sf_dir),
+            cust_ds,
+            msg_cols={"revenue_c": pa.int64(), "n_orders": pa.int64()},
+            data_cols={"r_name": pa.string(), "n_name": pa.string()},
+            key_col="c_custkey",
+            key_type=pa.int64(),
+        )
+
+        def _fine_partial(b: pa.Table) -> pa.Table:
+            agg: dict[tuple, list[int]] = {}
+            for rn, nn, rc, cnt in zip(
+                b.column("r_name").to_pylist(),
+                b.column("n_name").to_pylist(),
+                b.column("revenue_c").to_pylist(),
+                b.column("n_orders").to_pylist(),
+            ):
+                a = agg.setdefault((rn, nn), [0, 0])
+                a[0] += rc
+                a[1] += cnt
+            keys = sorted(agg)
+            return _fine_partial_cols(
+                keys, [agg[k][0] for k in keys], [agg[k][1] for k in keys]
+            )
+
+        fine_grain = attached.map_batches(
+            _fine_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     fine = (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["r_name", "n_name"])
+        fine_grain.groupby(["r_name", "n_name"])
         .aggregate(
             Sum(on="revenue_c", alias_name="revenue_c"),
             Sum(on="n_orders", alias_name="n_orders"),
@@ -3744,15 +4015,19 @@ def top_suppliers_by_revenue(sf_dir: str, k: int = 10):
             _np(b, "l_extendedprice") * (1.0 - _np(b, "l_discount"))
         )
         keys = np.asarray(b.column("l_suppkey").to_numpy(zero_copy_only=False))
-        uniq = np.unique(keys)
+        # O(n log n) regardless of key cardinality: inverse-index + bincount
+        # (the queries.py:787 idiom) — never rescan the batch per key
+        uniq, inv = np.unique(keys, return_inverse=True)
+        # int64 scatter-add (np.add.at), not bincount(weights=): weights
+        # go through float64 and the money rule demands exact cents
+        rc = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(rc, inv, rev_c)
         return pa.table(
             {
                 "l_suppkey": pa.array(uniq.tolist(), type=pa.int64()),
-                "rc": pa.array(
-                    [int(rev_c[keys == s].sum()) for s in uniq], type=pa.int64()
-                ),
+                "rc": pa.array(rc.tolist(), type=pa.int64()),
                 "n_items": pa.array(
-                    [int((keys == s).sum()) for s in uniq], type=pa.int64()
+                    np.bincount(inv).astype(np.int64).tolist(), type=pa.int64()
                 ),
             }
         )
@@ -3808,8 +4083,28 @@ def events_props_stats(sf_dir: str):
     row per (batch, type) crosses the exchange — the payload JSON never
     shuffles), pool-free groupby fold.  Null/unparseable props are
     excluded from avg/max like SQL's NULL semantics; row count includes
-    them."""
+    them.  Numeric coercion mirrors DuckDB ``CAST(... AS BIGINT)``:
+    floats round half away from zero ('1.5'→2, '-1.5'→-2); values DuckDB
+    would *error* on (bools, lists, non-numeric strings) degrade to NULL
+    here instead of failing the task — strictly more lenient than the
+    oracle, identical on parseable data."""
     import json as _json
+
+    def _as_bigint(k):
+        # DuckDB CAST semantics: ints pass through, floats round half
+        # away from zero, anything else (bool/list/dict/bad string) → None.
+        if k is None or isinstance(k, bool):
+            return None
+        if isinstance(k, int):
+            return k
+        if isinstance(k, str):
+            try:
+                k = float(k)
+            except ValueError:
+                return None
+        if isinstance(k, float):
+            return int(k + 0.5) if k >= 0 else int(k - 0.5)
+        return None
 
     from ..functions.numeric import duck_round
 
@@ -3824,13 +4119,13 @@ def events_props_stats(sf_dir: str):
             a[0] += 1
             if p:
                 try:
-                    k = _json.loads(p).get("k")
+                    k = _as_bigint(_json.loads(p).get("k"))
                 except (ValueError, AttributeError):
                     k = None
                 if k is not None:
-                    a[1] += int(k)
+                    a[1] += k
                     a[2] += 1
-                    a[3] = int(k) if a[3] is None else max(a[3], int(k))
+                    a[3] = k if a[3] is None else max(a[3], k)
         keys = sorted(agg)
         return pa.table(
             {

@@ -339,10 +339,12 @@ class SyntheticTransport:
         }
 
     def conditional_head(self, url: str, etag: str | None = None,
-                         last_modified: str | None = None) -> tuple[int, str]:
+                         last_modified: str | None = None,
+                         proxy=None) -> tuple[int, str]:
         """HEAD-with-validators (cache_validator.py layers 3+4): 304 when the
         stored validator still matches, else (200, current <head> section)
-        for fingerprint comparison."""
+        for fingerprint comparison.  ``proxy`` accepted for signature
+        parity with HttpTransport (ignored by the synthetic tier)."""
         hit = parse_page_url(self.params, url)
         if hit is None:
             return (404, "")

@@ -304,10 +304,13 @@ class HttpTransport:
 
     # -------------------------------------------- Smart-Cache revalidation
     def conditional_head(self, url: str, etag: str | None = None,
-                         last_modified: str | None = None) -> tuple[int, str]:
+                         last_modified: str | None = None,
+                         proxy=None) -> tuple[int, str]:
         """Conditional GET with the stored validators; 304 passes through,
         200 streams only up to ``</head>`` (fingerprint comparison input),
-        reading at most HEAD_SNIFF_LIMIT bytes either way."""
+        reading at most HEAD_SNIFF_LIMIT bytes either way.  ``proxy``
+        mirrors ``fetch_via`` so revalidation/head-seeding traffic follows
+        the same egress path as full fetches."""
         import requests
 
         cond = {}
@@ -315,7 +318,7 @@ class HttpTransport:
             cond["If-None-Match"] = etag
         if last_modified:
             cond["If-Modified-Since"] = last_modified
-        kw = self._request_kwargs(None, extra_headers=cond)
+        kw = self._request_kwargs(proxy, extra_headers=cond)
         kw["stream"] = True
         try:
             r = self._session().get(url, **kw)
@@ -353,17 +356,25 @@ class HttpSeederTransport:
     so `extract_head=True` seeding works against real sites with
     bounded bytes per URL."""
 
-    def __init__(self, http: HttpTransport | None = None):
+    def __init__(self, http: HttpTransport | None = None, proxy_strategy=None):
         self.http = http or HttpTransport()
+        self.proxy_strategy = proxy_strategy
+
+    def _proxy(self):
+        return (
+            self.proxy_strategy.get_next_proxy()
+            if self.proxy_strategy is not None
+            else None
+        )
 
     def fetch_sitemap(self, url: str) -> str | None:
-        status, body = self.http.fetch(url)
+        status, body = self.http.fetch_via(url, self._proxy())
         return body if status == 200 else None
 
     def fetch_head(self, url: str) -> dict:
         from ..stages.extract import extract_metadata, parse_dom
 
-        status, head_html = self.http.conditional_head(url)
+        status, head_html = self.http.conditional_head(url, proxy=self._proxy())
         if status != 200 or not head_html:
             return {}
         return extract_metadata(parse_dom(head_html))

@@ -164,7 +164,13 @@ def _probe_oversized(
     key_sel = sigs.select_columns(group_cols)
 
     if floor >= 2:
-        # bounded-block regime: shuffle-free ≥f partial emission
+        # bounded-block regime: shuffle-free ≥f partial emission.  The
+        # no-miss bound (total + (floor-1)·(num_blocks-seen) ≥ true count)
+        # assumes batch_size=None yields EXACTLY one batch per block; each
+        # batch therefore also emits a marker row (_n = -1, all-null keys —
+        # real partials have _n ≥ floor ≥ 2) and the driver asserts the
+        # observed batch count equals num_blocks, falling back to the exact
+        # scale regime on any mismatch (e.g. Ray re-slicing blocks).
         def _partials(batch: pa.Table) -> pa.Table:
             from collections import Counter
 
@@ -172,27 +178,38 @@ def _probe_oversized(
             cnt = Counter(zip(*cols)) if cols else Counter()
             keys = [k for k, n in cnt.items() if n >= floor]
             out = {
-                c: pa.array([k[i] for k in keys], type=batch.schema.field(c).type)
+                c: pa.array(
+                    [k[i] for k in keys] + [None],
+                    type=batch.schema.field(c).type,
+                )
                 for i, c in enumerate(group_cols)
             }
-            out["_n"] = pa.array([cnt[k] for k in keys], type=pa.int64())
+            out["_n"] = pa.array(
+                [cnt[k] for k in keys] + [-1], type=pa.int64()
+            )
             return pa.table(out)
 
         rows = key_sel.map_batches(
             _partials, batch_format="pyarrow", batch_size=None
         ).take_all()
-        agg: dict[tuple, list[int]] = {}
-        for r in rows:
-            k = tuple(r[c] for c in group_cols)
-            s = agg.setdefault(k, [0, 0])
-            s[0] += r["_n"]
-            s[1] += 1
-        out = {}
-        for k, (total, seen) in agg.items():
-            upper = total + (floor - 1) * (num_blocks - seen)
-            if upper > max_bucket:
-                out[k] = math.ceil(upper / max_bucket)
-        return out
+        batches_seen = sum(1 for r in rows if r["_n"] == -1)
+        if batches_seen == num_blocks:
+            agg: dict[tuple, list[int]] = {}
+            for r in rows:
+                if r["_n"] == -1:
+                    continue
+                k = tuple(r[c] for c in group_cols)
+                s = agg.setdefault(k, [0, 0])
+                s[0] += r["_n"]
+                s[1] += 1
+            out = {}
+            for k, (total, seen) in agg.items():
+                upper = total + (floor - 1) * (num_blocks - seen)
+                if upper > max_bucket:
+                    out[k] = math.ceil(upper / max_bucket)
+            return out
+        # batching didn't match block materialization: the bound is void —
+        # take the exact (one extra all-to-all) path instead of guessing
 
     # scale regime: exact distributed sum over per-block pre-aggregated
     # key rows (narrow; ≤ per-block-distinct keys, never one row per

@@ -577,21 +577,32 @@ def connected_components(pairs, max_iters: int = 20,
     join does not.  Rule of thumb encoded here: never feed a dataset that
     descends from a groupby into a ``Dataset.join`` side.
 
-    Shape per round: union(edges, state) → one groupby(node).map_groups.
-    Each node's group holds its incident edges (peer ids ride along) plus
-    last round's label messages; the group task computes
-    m = min(node, min peer, min incoming label) and emits one self row
-    (node, m) plus one message (peer, m) per distinct peer — the peer-id
-    fold makes round 1 equal to the classic "min(self, neighbors)" init.
-    Labels only ever decrease, so convergence is detected by the global
-    self-label sum going flat — no compare join.  Rounds needed = graph
-    diameter; LSH dup clusters are near-cliques, so 2-3 in practice
-    (``max_iters`` bounds pathology; the alternating-star optimization is
-    the known upgrade path for long-chain graphs at 100 TB).
+    Distributed algorithm: ALTERNATING LARGE-STAR / SMALL-STAR contraction
+    (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public).  Each pass is
+    ONE groupby(node).map_groups over symmetric (node, peer) edge rows:
 
-    Cost: one all-to-all per round over ~2·|edges| id-sized rows —
+      * large-star at reducer u: m = min(N(u) ∪ {u}); rewire every
+        STRICTLY BIGGER neighbor to m (emit (v, m) for v > u);
+      * small-star at reducer u (edges pre-directed to their larger
+        endpoint): m = min of the smaller neighbors; rewire u and all
+        its other smaller neighbors to m.
+
+    Both passes preserve connectivity (paper lemmas 1-2) and the edge set
+    converges monotonically to per-component STARS centered at the min
+    id — in O(log² n) passes worst case, ~log(diameter) in practice — so
+    a diameter-d chain needs ~log d iterations, NOT d (the round-4 fix:
+    min-label propagation moved one hop per round and under-merged any
+    component with diameter > max_iters).  Convergence is detected by a
+    (count, order-insensitive edge-hash) signature of BOTH passes' outputs
+    going flat round-over-round: each pass's output is a deterministic
+    function of its input edge SET, so a repeated signature is a fixed
+    point, and the paper's monotone-potential argument says the only fixed
+    point is the star state.
+
+    Cost: two all-to-alls per iteration over ~2·|edges| id-sized rows —
     candidate-pair scale, far below the corpus; nothing is broadcast or
-    driver-held.
+    driver-held (the signature fold is one tiny row per block).
 
     SIZE-ADAPTIVE like the minhash verify: at ≤ ``driver_threshold`` edges
     (ids only — the same scale the broadcast verify regime already
@@ -674,84 +685,152 @@ def connected_components(pairs, max_iters: int = 20,
             )
         )
 
-    def _step(g: pa.Table) -> pa.Table:
+    def _empty_edges(node_type: pa.DataType) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array([], type=node_type),
+                "peer": pa.array([], type=node_type),
+            }
+        )
+
+    def _large_star(g: pa.Table) -> pa.Table:
         node = g.column("node").combine_chunks()
-        key = node[0].as_py()
+        key = node[0]
         peers = pc.unique(pc.drop_null(g.column("peer").combine_chunks()))
-        labels = pc.drop_null(g.column("label").combine_chunks())
-        m = key
-        if len(peers):
-            m = min(m, pc.min(peers).as_py())
-        if len(labels):
-            m = min(m, pc.min(labels).as_py())
-        n_out = 1 + len(peers)
+        if len(peers) == 0:
+            return _empty_edges(node.type)
+        mn_p = pc.min(peers)
+        mn = key.as_py() if pc.less_equal(key, mn_p).as_py() else mn_p.as_py()
+        big = peers.filter(pc.greater(peers, key))
+        n = len(big)
+        if n == 0:
+            # locally maximal node: its edges are (re)emitted by the
+            # smaller endpoints' reducers (connectivity lemma)
+            return _empty_edges(node.type)
+        mrep = pa.array([mn] * n, type=node.type)
         return pa.table(
             {
-                "node": pa.concat_arrays(
-                    [pa.array([key], type=node.type), peers]
-                ),
-                "label": pa.array([m] * n_out, type=node.type),
-                "is_self": pa.array([True] + [False] * len(peers)),
+                "node": pa.concat_arrays([big, mrep]),
+                "peer": pa.concat_arrays([mrep, big]),
             }
         )
 
-    def _as_state(batch: pa.Table) -> pa.Table:
+    def _small_star(g: pa.Table) -> pa.Table:
+        # input rows pre-filtered to peer < node: reducer u sees exactly
+        # its strictly-smaller neighbors
+        node = g.column("node").combine_chunks()
+        key = node[0]
+        peers = pc.unique(g.column("peer").combine_chunks())
+        mn = pc.min(peers)
+        others = peers.filter(pc.not_equal(peers, mn))
+        targets = pa.concat_arrays(
+            [others, pa.array([key.as_py()], type=node.type)]
+        )
+        n = len(targets)
+        mrep = pa.array([mn.as_py()] * n, type=node.type)
         return pa.table(
             {
-                "node": batch.column("node"),
-                "peer": pa.nulls(batch.num_rows, batch.column("node").type),
-                "label": batch.column("label"),
+                "node": pa.concat_arrays([targets, mrep]),
+                "peer": pa.concat_arrays([mrep, targets]),
             }
         )
 
-    def _self_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(batch.column("is_self"))
+    def _to_larger(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b.column("peer"), b.column("node")))
 
-    state = None
-    prev_sum = None
-    out = None
+    _P = (1 << 61) - 1
+
+    def _sig_partial(b: pa.Table) -> pa.Table:
+        node, peer = b.column("node"), b.column("peer")
+        try:
+            a = np.asarray(node.to_numpy(zero_copy_only=False)).astype(np.uint64)
+            c = np.asarray(peer.to_numpy(zero_copy_only=False)).astype(np.uint64)
+            lo, hi = np.minimum(a, c), np.maximum(a, c)
+            with np.errstate(over="ignore"):
+                h = (lo * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                    hi * np.uint64(0xC2B2AE3D27D4EB4F)
+                )
+                h ^= h >> np.uint64(31)
+            s = int(h.astype(object).sum()) % _P
+        except (TypeError, ValueError):
+            # string ids: md5, NOT hash() (per-process randomized)
+            import hashlib
+
+            s = 0
+            for x, y in zip(node.to_pylist(), peer.to_pylist()):
+                lo_s, hi_s = (x, y) if x <= y else (y, x)
+                d = hashlib.md5(f"{lo_s}\x00{hi_s}".encode()).digest()
+                s = (s + int.from_bytes(d[:8], "little")) % _P
+        return pa.table(
+            {
+                "cnt": pa.array([b.num_rows], type=pa.int64()),
+                "h": pa.array([s], type=pa.int64()),
+            }
+        )
+
+    def _sig(ds) -> tuple[int, int]:
+        rows = ds.map_batches(
+            _sig_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # one tiny row per block
+        return (
+            sum(r["cnt"] for r in rows),
+            sum(r["h"] for r in rows) % _P,
+        )
+
+    cur = edges.select_columns(["node", "peer"]).materialize()
+    prev_sig = None
     converged = False
     for _ in range(max_iters):
-        inp = edges if state is None else edges.union(state)
-        out = inp.groupby("node").map_groups(
-            _step, batch_format="pyarrow"
-        ).materialize()
-        cur_sum = out.map_batches(
-            _self_only, batch_format="pyarrow", zero_copy_batch=True
-        ).sum("label")
-        if cur_sum == prev_sum:
+        after_large = (
+            cur.groupby("node")
+            .map_groups(_large_star, batch_format="pyarrow")
+            .materialize()
+        )
+        cur = (
+            after_large.map_batches(
+                _to_larger, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("node")
+            .map_groups(_small_star, batch_format="pyarrow")
+            .materialize()
+        )
+        sig = (_sig(after_large), _sig(cur))
+        if sig == prev_sig:
             converged = True
             break
-        prev_sum = cur_sum
-        state = out.map_batches(
-            _as_state, batch_format="pyarrow", zero_copy_batch=True
-        )
+        prev_sig = sig
     if not converged:
-        # a dup-graph chain with diameter > max_iters exits here with
-        # UNDER-MERGED labels; surface it loudly instead of silently
-        # (bounded-pathology return stays the contract — callers that set
-        # a small max_iters still get SOME labeling — but unconverged
-        # labels must never pass as converged; the alternating-star
-        # upgrade in the docstring is the structural fix for long chains)
+        # star alternation converges in O(log² n) passes, so exhausting
+        # max_iters means either a pathological max_iters setting or a
+        # graph far beyond the design envelope; the returned labels may be
+        # UNDER-MERGED — surface it loudly (bounded-pathology return stays
+        # the contract: callers that set a tiny max_iters still get SOME
+        # labeling with every node present)
         import logging
 
         logging.getLogger(__name__).warning(
-            "connected_components: label propagation did NOT converge in "
-            "%d rounds — a component has diameter > %d and its labels are "
-            "under-merged; raise max_iters",
-            max_iters, max_iters,
+            "connected_components: star contraction did NOT converge in "
+            "%d rounds — component labels may be under-merged; raise "
+            "max_iters (log²(nodes) rounds always suffice)",
+            max_iters,
         )
 
-    def _final(batch: pa.Table) -> pa.Table:
-        keep = batch.filter(batch.column("is_self"))
+    def _final(g: pa.Table) -> pa.Table:
+        node = g.column("node").combine_chunks()
+        key = node[0]
+        peers = pc.unique(pc.drop_null(g.column("peer").combine_chunks()))
+        m = key.as_py()
+        if len(peers):
+            pm = pc.min(peers).as_py()
+            m = m if m <= pm else pm
         return pa.table(
             {
-                "doc_id": keep.column("node"),
-                "component_id": keep.column("label"),
+                "doc_id": pa.array([key.as_py()], type=node.type),
+                "component_id": pa.array([m], type=node.type),
             }
         )
 
-    return out.map_batches(_final, batch_format="pyarrow", zero_copy_batch=True)
+    return cur.groupby("node").map_groups(_final, batch_format="pyarrow")
 
 
 def keep_one_survivors(docs, pairs, id_col: str = "doc_id",

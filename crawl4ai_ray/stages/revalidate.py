@@ -27,8 +27,12 @@ class RevalidateStage:
     """map_batches callable class: validator catalog rows → + ``verdict``
     column ∈ {fresh_304, fresh_fingerprint, stale, error}."""
 
-    def __init__(self, transport):
+    def __init__(self, transport, proxy_strategy=None):
         self.transport = transport
+        # Same egress path as full fetches: when a rotation strategy is
+        # configured, every conditional request takes the next proxy just
+        # like FetchStage's fetch_via does.
+        self.proxy_strategy = proxy_strategy
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.fit_html import head_fingerprint
@@ -41,8 +45,14 @@ class RevalidateStage:
             batch.column("head_fingerprint").to_pylist(),
         ):
             try:
+                proxy = (
+                    self.proxy_strategy.get_next_proxy()
+                    if self.proxy_strategy is not None
+                    else None
+                )
                 status, head_html = self.transport.conditional_head(
-                    url, etag=etag or None, last_modified=lm or None
+                    url, etag=etag or None, last_modified=lm or None,
+                    proxy=proxy,
                 )
             except Exception:
                 verdicts.append("error")

@@ -66,6 +66,21 @@ def test_duplicate_and_unordered_edges(ray_session, regime):
     assert comp == {3: 3, 5: 3, 9: 3}
 
 
+def test_chain_diameter_100_converges_in_default_iters(ray_session):
+    # the round-4 scale bug: label propagation needed diameter-many rounds,
+    # so any chain with diameter > max_iters under-merged.  Star contraction
+    # needs ~log(diameter) rounds: a 100-diameter chain must produce EXACT
+    # components well inside the default max_iters, in the distributed
+    # regime (driver_threshold=0 forces it).
+    n = 100
+    comp = _components(
+        connected_components(
+            _pairs([(i, i + 1) for i in range(n)]), driver_threshold=0
+        )
+    )
+    assert comp == {i: 0 for i in range(n + 1)}
+
+
 def test_max_iters_bounds_work(ray_session):
     # with max_iters=1 a long chain must still return SOME labeling with
     # every node present (bounded pathology, not a hang) — distributed
