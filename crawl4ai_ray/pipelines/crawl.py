@@ -322,6 +322,9 @@ class CrawlEngine:
         self._seen_check_stage = _SeenCheckStage(
             self.seen.shards, config.num_seen_shards
         )
+        # run_iter() hook: called with the epoch number right after that
+        # epoch's docs + manifest are durable (commit point)
+        self._epoch_listener = None
 
     def shutdown(self) -> None:
         """Kill shard actors (tests create many engines per session)."""
@@ -826,6 +829,80 @@ class CrawlEngine:
             return self._run_dfs(seeds)
         raise ValueError(f"unknown strategy {self.config.strategy}")
 
+    def _notify_epoch(self, epoch: int) -> None:
+        if self._epoch_listener is not None:
+            self._epoch_listener(epoch)
+
+    def run_iter(self, seeds: list[str], resume: bool = False,
+                 max_buffered_epochs: int = 2):
+        """Per-epoch streaming results — the reference's ``stream=True``
+        mode (async_webcrawler.py:873-891, dispatcher ``run_urls_stream``
+        yields each CrawlResult as it completes) re-expressed at this
+        engine's epoch granularity: yields ``(epoch, docs Dataset)`` as
+        each epoch COMMITS (docs parquet + manifest durable), while later
+        epochs keep crawling in a background thread — the consumer
+        pipelines downstream work against epoch k while the engine fetches
+        epoch k+1.
+
+        ``max_buffered_epochs`` bounds the queue: when the consumer lags
+        that far behind, the crawl thread blocks at the next commit point
+        (backpressure — unconsumed epochs never pile up unboundedly).
+        Checkpoint/resume semantics are exactly ``run()``'s: the listener
+        fires after the durable write, so a kill mid-iteration resumes
+        from the same place either way.  The final summary dict is exposed
+        as ``self.last_run_stats`` after exhaustion (and raised exceptions
+        propagate).  DFS is serial with no epoch structure — use ``run()``.
+        """
+        import queue as _queue
+        import threading
+
+        if self.config.strategy == "dfs":
+            raise ValueError("run_iter: dfs has no epoch structure; use run()")
+
+        q: _queue.Queue = _queue.Queue(maxsize=max(1, max_buffered_epochs))
+        done = object()
+        box: dict = {}
+
+        self._epoch_listener = q.put  # blocks when full → backpressure
+
+        def _crawl():
+            try:
+                box["stats"] = self.run(seeds, resume=resume)
+            except BaseException as e:  # surface on the consumer side
+                box["error"] = e
+            finally:
+                q.put(done)
+
+        t = threading.Thread(target=_crawl, daemon=True, name="crawl-run_iter")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    break
+                # create=False: the default CLEARS the dir for an idempotent
+                # epoch re-run — here we only read what the epoch committed
+                docs_dir = self.store.docs_epoch_dir(item, create=False)
+                if not os.path.isdir(docs_dir) or not any(
+                    f.endswith(".parquet") for f in os.listdir(docs_dir)
+                ):
+                    continue  # epoch fetched nothing (all-robots-blocked etc.)
+                yield item, ray.data.read_parquet(docs_dir)
+        finally:
+            self._epoch_listener = None
+            # consumer may abandon the iterator early while the crawl
+            # thread is blocked on a full queue: drain until it exits
+            # (the crawl itself runs to completion — commits are durable)
+            while t.is_alive():
+                try:
+                    q.get(timeout=0.1)
+                except _queue.Empty:
+                    pass
+            t.join()
+        if "error" in box:
+            raise box["error"]
+        self.last_run_stats = box["stats"]
+
     def revalidate_and_refresh(self, concurrency: int = 8) -> dict:
         """Smart-Cache resume (reference async_webcrawler.py:273-315 +
         cache_validator.py): instead of skipping seen URLs forever, read the
@@ -987,6 +1064,7 @@ class CrawlEngine:
                     "deterministic": True,
                 }
             )
+            self._notify_epoch(epoch)
             frontier = next_table
             epoch += 1
             epochs_run += 1
@@ -1037,6 +1115,7 @@ class CrawlEngine:
                     "preseed_visited": cfg.preseed_visited,
                 }
             )
+            self._notify_epoch(epoch)
             input_dir, n = next_dir, next_n
             epoch += 1
             epochs_run += 1
@@ -1205,6 +1284,7 @@ class CrawlEngine:
                     "deterministic": True,
                 }
             )
+            self._notify_epoch(batch_idx)
             batch_idx += 1
         wall_total = time.time() - t_start
         if sheap is not None:
@@ -1314,6 +1394,7 @@ class CrawlEngine:
                     "deterministic": False,
                 }
             )
+            self._notify_epoch(batch_idx)
             batch_idx += 1
         wall_total = time.time() - t_start
         sheap.shutdown()

@@ -191,6 +191,54 @@ def cc_seed_urls(domains: list[str], client_factory, cache_dir: str,
     return out
 
 
+class HttpCCIndexClient:
+    """Live Common Crawl index client over :class:`HttpTransport`'s
+    per-thread sessions (the reference's aiohttp path,
+    async_url_seeder.py:810-863 / :836-856): streams response lines —
+    JSONL records for index queries, the collinfo body for
+    ``COLLINFO_URL`` — and maps any non-200 status to :class:`CCHttpError`
+    so ``CCSeederSource``'s (1,3,7)s 503-retry schedule drives the
+    re-requests.  Streaming: ``iter_lines`` over a chunked response, so a
+    multi-GB index page never lands in one string.
+
+    ``base_url`` rewrites ``https://index.commoncrawl.org`` (tests point it
+    at the local server); the synthetic client stays the default wiring
+    for determinism."""
+
+    def __init__(self, http=None, base_url: str | None = None):
+        if http is None:
+            from .http_transport import HttpTransport
+
+            http = HttpTransport()
+        self.http = http
+        self.base_url = base_url.rstrip("/") if base_url else None
+
+    def __call__(self, url: str):
+        import requests
+
+        if self.base_url:
+            url = url.replace("https://index.commoncrawl.org", self.base_url)
+        kw = self.http._request_kwargs(None)
+        kw["stream"] = True
+        try:
+            r = self.http._session().get(url, **kw)
+        except requests.exceptions.RequestException as e:
+            raise CCHttpError(0, str(e)) from e
+        if r.status_code != 200:
+            r.close()
+            raise CCHttpError(r.status_code)
+
+        def _lines():
+            try:
+                for line in r.iter_lines(decode_unicode=True):
+                    if line:
+                        yield line
+            finally:
+                r.close()
+
+        return _lines()
+
+
 class SyntheticCCClient:
     """Fake Common Crawl index endpoint for tests/bench: serves a
     deterministic jsonl index per domain glob, with an optional scripted

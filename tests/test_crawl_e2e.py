@@ -610,3 +610,71 @@ def test_smart_cache_revalidation(tmp_path, ray_session):
     # idempotence: a second revalidation against the same transport is clean
     res2 = engine2.revalidate_and_refresh()
     assert res2["stale"] == 0 and res2["fresh_304"] >= 2
+
+
+def test_run_iter_streams_epochs_while_crawling(ray_session, tmp_path):
+    """run_iter (reference stream=True, epoch granularity): epochs arrive
+    in order as they commit, the consumer can process epoch k while later
+    epochs still crawl, union of streamed docs == docs_dataset, and
+    checkpoint/resume state is exactly what run() leaves behind."""
+    import json
+    import os
+
+    params = CorpusParams(n_hosts=2, pages_per_host=20, seed=7,
+                          link_back_to_seed=True)
+    cfg = CrawlConfig(
+        max_depth=3,
+        num_seen_shards=2,
+        num_politeness_shards=2,
+        fetch_concurrency=2,
+        fetch_batch_size=16,
+        deterministic=True,
+        include_external=True,
+    )
+    engine = CrawlEngine(
+        SyntheticTransport(params), cfg, str(tmp_path / "it"),
+        robots_bodies=robots_map(params),
+    )
+    seen_epochs = []
+    streamed_urls: set[str] = set()
+    later_progress_observed = False
+    for epoch, ds in engine.run_iter(params.seeds()):
+        assert os.listdir(engine.store.docs_epoch_dir(epoch, create=False))
+        # while we hold epoch k, the background thread keeps crawling:
+        # after the FIRST yield, poll the manifest for a later epoch
+        # before consuming the rest (bounded wait, no sleep-forever)
+        if not seen_epochs:
+            import time as _t
+
+            for _ in range(200):
+                m = engine.store.read_manifest() or {}
+                if m.get("epoch", 0) > epoch:
+                    later_progress_observed = True
+                    break
+                _t.sleep(0.05)
+        seen_epochs.append(epoch)
+        streamed_urls.update(
+            r["url"] for r in ds.select_columns(["url"]).take_all()
+        )
+    assert seen_epochs == sorted(seen_epochs) and len(seen_epochs) >= 2
+    assert later_progress_observed, "no later epoch committed while consuming"
+    assert engine.last_run_stats["pages_crawled"] > 0
+    # streamed union == the persisted corpus run() would expose
+    all_urls = {
+        r["url"]
+        for r in engine.docs_dataset().select_columns(["url"]).take_all()
+    }
+    assert streamed_urls == all_urls
+    engine.shutdown()
+
+
+def test_run_iter_rejects_dfs(ray_session, tmp_path):
+    params = CorpusParams(n_hosts=1, pages_per_host=5, seed=7)
+    cfg = CrawlConfig(strategy="dfs")
+    engine = CrawlEngine(
+        SyntheticTransport(params), cfg, str(tmp_path / "dfs"),
+        robots_bodies=robots_map(params),
+    )
+    with pytest.raises(ValueError):
+        next(iter(engine.run_iter(params.seeds())))
+    engine.shutdown()
