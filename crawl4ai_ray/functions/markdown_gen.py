@@ -1,532 +1,554 @@
-"""html → markdown converter with html2text fidelity on the feature slice
-the crawl pipeline emits — parity with the reference's
-``DefaultMarkdownGenerator`` configuration (CustomHTML2Text with
-body_width=0, single_line_break=True, mark_code=True;
+"""html → markdown converter with html2text fidelity — parity with the
+reference's ``DefaultMarkdownGenerator`` configuration (CustomHTML2Text
+base class with body_width=0, single_line_break=True, mark_code=True;
 /root/reference/crawl4ai/markdown_generation_strategy.py:181-200, vendored
-converter /root/reference/crawl4ai/html2text/).
+PUBLIC html2text library at /root/reference/crawl4ai/html2text/).
 
-Covered (golden-tested char-for-char vs the exec'd reference converter in
-tests/test_markdown_golden.py): headings, paragraphs/divs, inline spans,
-links (+titles, automatic ``<url>`` links), images, bold/italic with
-html2text's stressed-whitespace rules, inline code, ``[code]`` blocks from
-<pre>, flat and nested ul/ol, blockquotes (incl. nested — the reference's
-``"> " * depth`` opening-chain vs ``">"*depth + " "`` continuation quirk),
-tables (non-padded pipe rows + ``---|---`` separator after the first row,
-every table line br-suffixed, caption text flowing into the first row),
-definition lists (``\\n\\n``-led dt, 4-space-indented dd, dt→dd stressed
-carry), br, hr, entity unescaping, and the single-line-break block layout
-(lists trailed by a blank pair).
+Rounds 2-4 approximated the converter as a DOM walk with quirk
+replication per feature combo; the round-5 random-DOM fuzz
+(tests/test_markdown_golden.py) showed that several html2text behaviors
+are inherently CROSS-BLOCK streaming state a per-block walk cannot carry:
 
-Nested emphasis (b/i in any nesting, incl. the stressed-space rules across
-close markers) is covered as of round 3; round 4 closed the residual
-combos: tables inside list items (first row concatenates onto the pending
-line, remaining rows bare), blockquotes and pre blocks inside list items,
-pre/list tails inside (nested) blockquotes mid-document (incl. the
-vendored converter's prefix-loss quirk on bare text after an in-quote
-list, and the first-content-only blank line before [code]).  The structure
-here is a DOM walk over stages/extract.py's tree — not a port of the
-reference's streaming parser.
+  * ``preceding_data`` persists across paragraph/table/list boundaries, so
+    whether ``<em>`` opens as ``_`` or `` _`` depends on the last text of
+    the PREVIOUS block (html2text/__init__.py:425-465, :924);
+  * a table's last-row soft-break stores ``"  "`` in ``br_toggle`` which a
+    following ``<dt>`` silently swallows (p_p reset without flush) and the
+    NEXT paragraph break then re-emits — the ``  \\n`` appears blocks later
+    (:726-731, :834-837, :621);
+  * list indentation depends on the ancestor list-kind chain ("   " for a
+    ul directly inside an ol, else "  " — the commonmark-motivated rule at
+    :661-668), not on depth alone.
+
+So this module is now a streaming state machine driven by the same
+html.parser events the reference uses, restricted to the engine's fixed
+configuration (inline links, no wrapping, single line breaks, [code]
+fences, no google-doc mode, no table padding).  The behavior — including
+the quirks above — IS the spec; anchors cite html2text/__init__.py.
+Structure, naming and the config specialization are this repo's own.
 """
 
 from __future__ import annotations
 
+import html.entities
 import re
+import urllib.parse as _urlparse
+from html.parser import HTMLParser
 
-from ..stages.extract import parse_dom
+# -- fixed configuration (reference config.py defaults + the generator's
+#    overrides: body_width=0, single_line_break=True, mark_code=True) -----
+_UL_MARK = "*"
+_EM_MARK = "_"
+_STRONG_MARK = "**"
 
-_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
-_BLOCK_TAGS = {
-    "html", "body", "p", "div", "section", "article", "header", "footer",
-    "nav", "main", "aside", "figure", "figcaption", "ul", "ol", "li",
-    "blockquote", "pre", "hr", "table", "dl", "video", "audio",
-} | set(_HEADINGS)
-_SKIP_TAGS = {"script", "style", "head", "title", "meta", "link"}
-_ABS_URL_RE = re.compile(r"^[a-zA-Z+]+://")
-_STRESS_SPACE_RE = re.compile(r"[^][(){}\s.!?]")
-_WS_RE = re.compile(r"\s+")
+# public html2text ascii replacements (config.py:115-152); nbsp uses the
+# placeholder trick so puredata's whitespace collapse can't eat it
+_NBSP_PLACEHOLDER = "&nbsp_place_holder;"
+_UNIFIABLE = {
+    "rsquo": "'", "lsquo": "'", "rdquo": '"', "ldquo": '"', "copy": "(C)",
+    "mdash": "--", "nbsp": _NBSP_PLACEHOLDER, "rarr": "->", "larr": "<-",
+    "middot": "*", "ndash": "-", "oelig": "oe", "aelig": "ae",
+    "agrave": "a", "aacute": "a", "acirc": "a", "atilde": "a", "auml": "a",
+    "aring": "a", "egrave": "e", "eacute": "e", "ecirc": "e", "euml": "e",
+    "igrave": "i", "iacute": "i", "icirc": "i", "iuml": "i", "ograve": "o",
+    "oacute": "o", "ocirc": "o", "otilde": "o", "ouml": "o", "ugrave": "u",
+    "uacute": "u", "ucirc": "u", "uuml": "u", "lrm": "", "rlm": "",
+}
+_UNIFIABLE_N = {
+    html.entities.name2codepoint[k]: v
+    for k, v in _UNIFIABLE.items()
+    if k != "nbsp"
+}
+
+_RE_MD_CHARS = re.compile(r"([\\\[\]\(\)])")
+_RE_MD_BACKSLASH = re.compile(
+    r"(\\)(?=[%s])" % re.escape(r"\`*_{}[]()#+-.!")
+)
+_RE_ABS_URL = re.compile(r"^[a-zA-Z+]+://")
+_RE_WS_RUN = re.compile(r"\s+")
+# letter-or-common-punctuation check after a stressed close (:884-890)
+_RE_STRESS_CONT = re.compile(r"[^][(){}\s.!?]")
+
+_HEADING_LEVEL = {f"h{i}": i for i in range(1, 10)}
 _PUNCT = set("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+_WHITESPACE = set(" \t\n\r\x0b\x0c")
+
+
+def _escape_md(text: str) -> str:
+    """Escape md-sensitive chars inside other md constructs (url titles,
+    image alts — reference utils.escape_md)."""
+    return _RE_MD_CHARS.sub(r"\\\1", text)
+
+
+def _escape_md_section(text: str) -> str:
+    """Document-section escaping at the engine's flag set: only the
+    backslash-before-special rule is active (escape_snob/dot/plus/dash all
+    default False in the reference config)."""
+    return _RE_MD_BACKSLASH.sub(r"\\\1", text)
 
 
 def _escape_url(url: str) -> str:
-    """html2text escapes parens inside the (url) part of md links."""
-    return url.replace("(", r"\(").replace(")", r"\)")
+    """Parens inside the (url) part of inline links (escape_md on urls)."""
+    return _escape_md(url)
 
 
-class _Inline:
-    """Inline emitter holding html2text's stressed-text state machine:
-    text just inside b/i/em/strong is stripped; the next text after one gets
-    a leading space unless it starts with punctuation-ish chars or sits in
-    a/code/pre (utils: reference html2text/__init__.py:884-896, 425-465)."""
+class _ListEntry:
+    __slots__ = ("name", "num")
 
-    def __init__(self):
+    def __init__(self, name: str, num: int):
+        self.name = name
+        self.num = num
+
+
+class _MdEmitter(HTMLParser):
+    """The html2text state machine at this engine's fixed configuration.
+    Event flow, state variables and emission order mirror the reference
+    (html2text/__init__.py) so cross-block quirks reproduce exactly; dead
+    configuration branches (google docs, reference-style links, table
+    padding, wrapping) are specialized away."""
+
+    def __init__(self, baseurl: str = ""):
+        super().__init__(convert_charrefs=False)
+        self.baseurl = baseurl
         self.parts: list[str] = []
+        self.quiet = 0
+        self.p_p = 0            # newlines to emit before the next output
+        self.start = True
+        self.space = False
+        self.astack: list[dict | None] = []
+        self.maybe_automatic_link: str | None = None
+        self.empty_link = False
+        self.list: list[_ListEntry] = []
+        self.blockquote = 0
+        self.pre = False
+        self.startpre = False
+        self.code = False
+        self.quote = False
+        self.br_toggle = ""
+        self.lastWasNL = False
+        self.lastWasList = False
+        self.inheader = False
         self.stressed = False
         self.preceding_stressed = False
         self.preceding_data = ""
+        self.current_tag = ""
+        self.split_next_td = False
+        self.td_count = 0
+        self.table_start = False
 
-    def text(self, data: str, in_code: bool = False, suppress_stress_space: bool = False):
-        if data == "":
+    # ------------------------------------------------------------- output
+    def out(self, s: str) -> None:
+        self.parts.append(s)
+        if s:
+            self.lastWasNL = s[-1] == "\n"
+
+    def pbr(self) -> None:
+        if self.p_p == 0:
+            self.p_p = 1
+
+    def p(self) -> None:
+        self.p_p = 1  # single_line_break=True
+
+    def soft_br(self) -> None:
+        self.pbr()
+        self.br_toggle = "  "
+
+    def o(self, data: str, puredata: bool = False, force=False) -> None:
+        """Indentation/whitespace bookkeeping (reference o(), :766-875,
+        minus the google-doc / reference-link / abbr branches that are
+        dead at this configuration)."""
+        if self.quiet:
             return
+        if puredata and not self.pre:
+            data = _RE_WS_RUN.sub(" ", data)
+            if data and data[0] == " ":
+                self.space = True
+                data = data[1:]
+        if not data and not force:
+            return
+
+        if self.startpre:
+            if not data.startswith("\n") and not data.startswith("\r\n"):
+                data = "\n" + data
+            self.out("\n[code]")  # mark_code=True
+            self.p_p = 0
+
+        bq = ">" * self.blockquote
+        if not (force and data and data[0] == ">") and self.blockquote:
+            bq += " "
+
+        if self.pre:
+            if not self.list:
+                bq += "    "
+            bq += "    " * len(self.list)
+            data = data.replace("\n", "\n" + bq)
+
+        if self.startpre:
+            self.startpre = False
+            if self.list:
+                data = data.lstrip("\n")  # use existing initial indentation
+
+        if self.start:
+            self.space = False
+            self.p_p = 0
+            self.start = False
+
+        if force == "end":
+            self.p_p = 0
+            self.out("\n")
+            self.space = False
+
+        if self.p_p:
+            self.out((self.br_toggle + "\n" + bq) * self.p_p)
+            self.space = False
+            self.br_toggle = ""
+
+        if self.space:
+            if not self.lastWasNL:
+                self.out(" ")
+            self.space = False
+
+        self.p_p = 0
+        self.out(data)
+
+    # -------------------------------------------------------------- events
+    def feed(self, data: str) -> None:
+        data = data.replace("</' + 'script>", "</ignore>")  # reference quirk
+        super().feed(data)
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._tag(tag, dict(attrs), start=True)
+
+    def handle_endtag(self, tag: str) -> None:
+        self._tag(tag, {}, start=False)
+
+    def handle_charref(self, name: str) -> None:
+        self.handle_data(self._charref(name), True)
+
+    def handle_entityref(self, name: str) -> None:
+        ref = self._entityref(name)
+        if ref:
+            self.handle_data(ref, True)
+
+    def _charref(self, name: str) -> str:
+        c = int(name[1:], 16) if name[0] in ("x", "X") else int(name)
+        if c in _UNIFIABLE_N:
+            return _UNIFIABLE_N[c]
+        try:
+            return chr(c)
+        except ValueError:
+            return ""
+
+    def _entityref(self, c: str) -> str:
+        if c in _UNIFIABLE:
+            return _UNIFIABLE[c]
+        try:
+            ch = html.entities.html5[c + ";"]
+        except KeyError:
+            return "&" + c + ";"
+        return _UNIFIABLE[c] if c == "nbsp" else ch
+
+    # ----------------------------------------------------------------- tags
+    def _link_url(self, link: str, title: str) -> None:
+        url = _urlparse.urljoin(self.baseurl, link)
+        title = ' "{}"'.format(title) if title.strip() else ""
+        self.o("]({url}{title})".format(url=_escape_md(url), title=title))
+
+    def _tag(self, tag: str, attrs: dict, start: bool) -> None:
+        self.current_tag = tag
+
+        # first thing inside an anchor is another output-producing tag
+        if (
+            start
+            and self.maybe_automatic_link is not None
+            and tag not in ("p", "div", "style", "dl", "dt")
+            and tag != "img"
+        ):
+            self.o("[")
+            self.maybe_automatic_link = None
+            self.empty_link = False
+
+        heading = _HEADING_LEVEL.get(tag, 0)
+        if heading:
+            # inside-a-link headings (incorrect but wild, :345-358)
+            if self.astack:
+                if start:
+                    self.inheader = True
+                    if self.parts and self.parts[-1] == "[":
+                        self.parts.pop()
+                        self.space = False
+                        self.o("#" * heading + " ")
+                        self.o("[")
+                else:
+                    self.p_p = 0  # don't break up the link name
+                    self.inheader = False
+                    return
+            else:
+                self.p()
+                if start:
+                    self.inheader = True
+                    self.o("#" * heading + " ")
+                else:
+                    self.inheader = False
+                    return  # no redundant emphasis marks on headers
+
+        if tag in ("p", "div"):
+            if self.astack or self.split_next_td:
+                pass
+            else:
+                self.p()
+
+        if tag == "br" and start:
+            if self.blockquote > 0:
+                self.o("  \n> ")
+            else:
+                self.o("  \n")
+
+        if tag == "hr" and start:
+            self.p()
+            self.o("* * *")
+            self.p()
+
+        if tag in ("head", "style", "script"):
+            self.quiet += 1 if start else -1
+
+        if tag == "body":
+            self.quiet = 0  # sites never closing <head> (:407)
+
+        if tag == "blockquote":
+            if start:
+                self.p()
+                self.o("> ", force=True)
+                self.start = True
+                self.blockquote += 1
+            else:
+                self.blockquote -= 1
+                self.p()
+
+        if tag in ("em", "i", "u"):
+            # space-separate when directly after an alphanumeric, else the
+            # emphasis mark won't render (:422-441)
+            if (
+                start
+                and self.preceding_data
+                and self.preceding_data[-1] not in _WHITESPACE
+                and self.preceding_data[-1] not in _PUNCT
+            ):
+                emphasis = " " + _EM_MARK
+                self.preceding_data += " "
+            else:
+                emphasis = _EM_MARK
+            self.o(emphasis)
+            if start:
+                self.stressed = True
+
+        if tag in ("strong", "b"):
+            # space-separate ** from a preceding '*' (:443-463)
+            if (
+                start
+                and self.preceding_data
+                and self.preceding_data[-1] == _STRONG_MARK[0]
+            ):
+                strong = " " + _STRONG_MARK
+                self.preceding_data += " "
+            else:
+                strong = _STRONG_MARK
+            self.o(strong)
+            if start:
+                self.stressed = True
+
+        if tag in ("del", "strike", "s"):
+            if start and self.preceding_data and self.preceding_data[-1] == "~":
+                strike = " ~~"
+                self.preceding_data += " "
+            else:
+                strike = "~~"
+            self.o(strike)
+            if start:
+                self.stressed = True
+
+        if tag in ("kbd", "code", "tt") and not self.pre:
+            self.o("`")
+            self.code = not self.code
+
+        if tag == "q":
+            self.o('"')
+            self.quote = not self.quote
+
+        if tag == "a":
+            if start:
+                href = attrs.get("href")
+                if href is not None and not href.startswith("#"):
+                    self.astack.append(attrs)
+                    self.maybe_automatic_link = href
+                    self.empty_link = True
+                else:
+                    self.astack.append(None)
+            else:
+                if self.astack:
+                    a = self.astack.pop()
+                    if self.maybe_automatic_link and not self.empty_link:
+                        self.maybe_automatic_link = None
+                    elif a:
+                        if self.empty_link:
+                            self.o("[")
+                            self.empty_link = False
+                            self.maybe_automatic_link = None
+                        self.p_p = 0  # inline_links
+                        title = _escape_md(a.get("title") or "")
+                        self._link_url(a["href"], title)
+
+        if tag == "img" and start:
+            src = attrs.get("src")
+            if src is not None:
+                alt = attrs.get("alt") or ""
+                if self.maybe_automatic_link is not None:
+                    self.o("[")
+                    self.maybe_automatic_link = None
+                    self.empty_link = False
+                self.o("![" + _escape_md(alt) + "]")
+                self.o("(" + _escape_md(_urlparse.urljoin(self.baseurl, src)) + ")")
+
+        if tag == "dl" and start:
+            self.p()
+            self.p_p = 0
+        elif tag == "dt" and start:
+            if self.p_p == 0:
+                self.o("\n\n")
+            self.p_p = 0
+        elif tag == "dt" and not start:
+            self.o("\n")
+        elif tag == "dd" and start:
+            self.o("    ")
+        elif tag == "dd" and not start:
+            self.p_p = 0
+
+        if tag in ("ol", "ul"):
+            if not self.list and not self.lastWasList:
+                self.p()
+            if start:
+                try:
+                    numbering_start = int(attrs["start"]) - 1
+                except (KeyError, TypeError, ValueError):
+                    numbering_start = 0
+                self.list.append(_ListEntry(tag, numbering_start))
+            else:
+                if self.list:
+                    self.list.pop()
+                    if not self.list:
+                        self.o("\n")
+            self.lastWasList = True
+        else:
+            self.lastWasList = False
+
+        if tag == "li":
+            self.pbr()
+            if start:
+                li = self.list[-1] if self.list else _ListEntry("ul", 0)
+                # 2 spaces per ancestor list, except 3 for a ul directly
+                # inside an ol (commonmark motivation, :661-668)
+                parent = None
+                for entry in self.list:
+                    self.o(
+                        "   " if parent == "ol" and entry.name == "ul"
+                        else "  "
+                    )
+                    parent = entry.name
+                if li.name == "ul":
+                    self.o(_UL_MARK + " ")
+                else:
+                    li.num += 1
+                    self.o(str(li.num) + ". ")
+                self.start = True
+
+        if tag in ("table", "tr", "td", "th"):
+            # pad_tables=False branch only (:704-733)
+            if tag == "table":
+                if start:
+                    self.table_start = True
+            if tag in ("td", "th") and start:
+                if self.split_next_td:
+                    self.o("| ")
+                self.split_next_td = True
+            if tag == "tr" and start:
+                self.td_count = 0
+            if tag == "tr" and not start:
+                self.split_next_td = False
+                self.soft_br()
+            if tag == "tr" and not start and self.table_start:
+                self.o("|".join(["---"] * self.td_count))
+                self.soft_br()
+                self.table_start = False
+            if tag in ("td", "th") and start:
+                self.td_count += 1
+
+        if tag == "pre":
+            if start:
+                self.startpre = True
+                self.pre = True
+            else:
+                self.pre = False
+                self.out("\n[/code]")  # mark_code=True
+            self.p()
+
+    # ----------------------------------------------------------------- data
+    def handle_data(self, data: str, entity_char: bool = False) -> None:
+        if not data:
+            return
+
         if self.stressed:
             data = data.strip()
             self.stressed = False
             self.preceding_stressed = True
         elif self.preceding_stressed:
             if (
-                data[:1]
-                and _STRESS_SPACE_RE.match(data[0])
-                and not suppress_stress_space
+                _RE_STRESS_CONT.match(data[0])
+                and not _HEADING_LEVEL.get(self.current_tag, 0)
+                and self.current_tag not in ("a", "code", "pre")
             ):
                 data = " " + data
             self.preceding_stressed = False
-        # the PROCESSED data, not the raw input — the reference assigns
-        # after the stressed strip / stress-space prefix (html2text
-        # __init__.py:924), and open_em's space-before-marker rule keys off
-        # it; raw here loses the space before a nested emphasis marker
+
+        if self.maybe_automatic_link is not None:
+            href = self.maybe_automatic_link
+            if href == data and _RE_ABS_URL.match(href):
+                self.o("<" + data + ">")
+                self.empty_link = False
+                return
+            self.o("[")
+            self.maybe_automatic_link = None
+            self.empty_link = False
+
+        if not self.code and not self.pre and not entity_char:
+            data = _escape_md_section(data)
         self.preceding_data = data
-        collapsed = data if in_code else _WS_RE.sub(" ", data)
-        if not self.parts and collapsed.startswith(" "):
-            collapsed = collapsed.lstrip(" ")
-        self.parts.append(collapsed)
+        self.o(data, puredata=True)
 
-    def marker(self, s: str):
-        self.parts.append(s)
-
-    def open_em(self):
-        pd = self.preceding_data
-        if pd and pd[-1] not in " \t\n\r\x0b\x0c" and pd[-1] not in _PUNCT:
-            self.marker(" _")
-            self.preceding_data += " "
-        else:
-            self.marker("_")
-        self.stressed = True
-
-    def open_strong(self):
-        pd = self.preceding_data
-        if pd and pd[-1] == "*":
-            self.marker(" **")
-            self.preceding_data += " "
-        else:
-            self.marker("**")
-        self.stressed = True
-
-    def result(self) -> str:
-        return "".join(self.parts).rstrip()
+    # --------------------------------------------------------------- finish
+    def finish(self) -> str:
+        self.close()
+        self.pbr()
+        self.o("", force="end")
+        text = "".join(self.parts)
+        self.parts = []
+        return text.replace(_NBSP_PLACEHOLDER, " ")
 
 
 class MarkdownConverter:
-    """DOM-walking converter; ``convert(html) -> str``."""
+    """Reusable facade (functions/markdown.py builds one per call site);
+    each convert() runs a fresh emitter — the reference constructs a new
+    CustomHTML2Text per generate_markdown call for the same reason
+    (stream state must not leak between documents)."""
 
-    def convert(self, html: str) -> str:
-        root = parse_dom(html or "")
-        blocks: list[tuple[str, str]] = []  # (text, kind)
-        self._walk_blocks(root, blocks, list_depth=0)
-        return self._join(blocks)
+    def __init__(self, baseurl: str = ""):
+        self.baseurl = baseurl
 
-    # ----------------------------------------------------------- block walk
-    def _join(self, blocks: list[tuple[str, str]]) -> str:
-        out: list[str] = []
-        prev = None
-        for text, kind in blocks:
-            if kind == "dl":
-                # html2text's dl-start swallows the pending paragraph break;
-                # the block text carries its own "\n\n" when it leads with dt
-                pass
-            elif prev is not None:
-                out.append("\n")
-            elif kind == "pre":
-                out.append("\n")
-            out.append(text)
-            if kind == "list":
-                out.append("\n\n")
-            prev = kind
-        if prev is None:
-            return "\n"  # html2text: no content still yields one newline
-        s = "".join(out)
-        if s.endswith("  "):  # the final table row's br suffix is dropped
-            s = s[:-2]
-        return s + "\n"
-
-    def _walk_blocks(self, node, blocks, list_depth):
-        """Walk children: contiguous inline content forms implicit
-        paragraphs; block children recurse."""
-        inline = _Inline()
-
-        def flush():
-            nonlocal inline
-            text = inline.result()
-            if text:
-                blocks.append((text, "normal"))
-            inline = _Inline()
-
-        for c in node.children:
-            if isinstance(c, str):
-                self._inline_node(c, inline, None)
-                continue
-            if c.tag in _SKIP_TAGS:
-                continue
-            if c.tag in _BLOCK_TAGS:
-                flush()
-                self._block_node(c, blocks, list_depth)
-            else:
-                self._inline_node(c, inline, None)
-        flush()
-
-    def _block_node(self, node, blocks, list_depth):
-        tag = node.tag
-        if tag in _HEADINGS:
-            text = self._render_inline(node, in_heading=True)
-            if text:
-                blocks.append(("#" * _HEADINGS[tag] + " " + text, "normal"))
-        elif tag == "hr":
-            blocks.append(("* * *", "normal"))
-        elif tag == "pre":
-            content = self._pre_text(node)
-            lines = content.split("\n")
-            while lines and lines[-1] == "":
-                lines.pop()
-            body = "\n".join("    " + ln if ln else "" for ln in lines)
-            blocks.append((f"[code]\n{body}\n[/code]", "pre"))
-        elif tag in ("ul", "ol"):
-            lines: list[str] = []
-            self._list_items(node, lines, depth=list_depth)
-            if lines:
-                kind = "list" if list_depth == 0 else "normal"
-                blocks.append(("\n".join(lines), kind))
-        elif tag == "li":  # bare li outside a list (html2text: '* x')
-            text = self._render_inline(node)
-            if text:
-                blocks.append(("* " + text, "normal"))
-        elif tag == "blockquote":
-            lines = self._quote_lines(node, depth=1, chain=True)
-            if lines:
-                blocks.append(("\n".join(lines), "normal"))
-        elif tag == "table":
-            text = self._table_block(node)
-            if text is not None:
-                blocks.append((text, "table"))
-        elif tag == "dl":
-            text = self._dl_block(node)
-            if text:
-                blocks.append((text, "dl"))
-        else:  # p, div, nav, figure, ... : implicit-paragraph container
-            self._walk_blocks(node, blocks, list_depth)
-
-    # ---------------------------------------------------------------- table
-    def _table_block(self, node) -> str | None:
-        """html2text non-padded table: first row (th or td alike) then a
-        ---|--- separator sized to it, cells joined '| ', every line
-        br-suffixed ('  ') — the document-final suffix is stripped in
-        _join.  Caption text flows straight into the first row line."""
-        caption_parts: list[str] = []
-        rows: list[list[str]] = []
-
-        def walk(n):
-            for c in n.children:
-                if isinstance(c, str) or c.tag in _SKIP_TAGS:
-                    continue
-                if c.tag == "caption":
-                    caption_parts.append(self._render_inline(c))
-                elif c.tag == "tr":
-                    cells = [
-                        self._render_inline(cc)
-                        for cc in c.children
-                        if not isinstance(cc, str) and cc.tag in ("td", "th")
-                    ]
-                    if cells:
-                        rows.append(cells)
-                elif c.tag in ("thead", "tbody", "tfoot"):
-                    walk(c)
-
-        walk(node)
-        if not rows:
-            return None
-        first = "".join(caption_parts) + "| ".join(rows[0])
-        lines = [first, "|".join(["---"] * len(rows[0]))]
-        lines.extend("| ".join(r) for r in rows[1:])
-        return "  \n".join(lines) + "  "
-
-    # ------------------------------------------------------------------- dl
-    def _dl_block(self, node) -> str:
-        """html2text dl: every dt is led by a literal '\\n\\n' and trailed
-        by '\\n'; every dd is '    ' + inline text with NO trailing newline
-        (consecutive dds share a line).  The inline stressed state carries
-        across dt→dd (reference state machine never resets it)."""
-        parts: list[str] = []
-        carry = False
-        for c in node.children:
-            if isinstance(c, str) or c.tag in _SKIP_TAGS:
-                continue
-            if c.tag in ("dt", "dd"):
-                inline = _Inline()
-                inline.preceding_stressed = carry
-                if carry:
-                    # the carried stressed-space must survive _Inline's
-                    # first-part lstrip (it's mid-stream in the reference)
-                    inline.parts.append("")
-                self._inline_node_children(c, inline)
-                text = inline.result()
-                carry = inline.preceding_stressed or inline.stressed
-                if c.tag == "dt":
-                    parts.append("\n\n" + text + "\n")
-                else:
-                    parts.append("    " + text)
-        return "".join(parts)
-
-    # ------------------------------------------------------------ blockquote
-    def _quote_lines(self, node, depth: int, chain: bool) -> list[str]:
-        """Render a blockquote to prefixed lines.  Reference quirk: a chain
-        of quote-opens with no content between them prints '> ' per level
-        ('> > > deep'), while every later line at depth d gets '>'*d + ' '
-        ('>> continuation')."""
-        lines: list[str] = []
-        inline = _Inline()
-        # after a list inside a quote, the NEXT bare text's first line
-        # consumes the list's trailing blank and prints UNPREFIXED (the
-        # vendored converter's quote state breaks there — quirk kept)
-        pending_list_tail = False
-
-        def pfx() -> str:
-            if chain and not lines:
-                return "> " * depth
-            return ">" * depth + " "
-
-        def flush():
-            nonlocal inline, pending_list_tail
-            text = inline.result()
-            if text:
-                parts = text.split("\n")
-                if pending_list_tail:
-                    if lines and lines[-1] == "":
-                        lines.pop()
-                    lines.append(parts[0])  # first line bare, rest prefixed
-                    parts = parts[1:]
-                    pending_list_tail = False
-                for ln in parts:
-                    lines.append(pfx() + ln)
-            inline = _Inline()
-
-        def emit_blocks(child):
-            inner: list[tuple[str, str]] = []
-            self._block_node(child, inner, 0)
-            for text, _k in inner:
-                for ln in text.split("\n"):
-                    lines.append(pfx() + ln)
-
-        for c in node.children:
-            if isinstance(c, str):
-                self._inline_node(c, inline, None)
-                continue
-            if c.tag in _SKIP_TAGS:
-                continue
-            if c.tag == "blockquote":
-                flush()
-                pending_list_tail = False
-                lines.extend(self._quote_lines(c, depth + 1, chain and not lines))
-            elif c.tag in _HEADINGS:
-                flush()
-                pending_list_tail = False
-                text = self._render_inline(c, in_heading=True)
-                if text:
-                    lines.append(pfx() + "#" * _HEADINGS[c.tag] + " " + text)
-            elif c.tag in ("ul", "ol"):
-                flush()
-                items: list[str] = []
-                self._list_items(c, items, depth=0)
-                lines.extend(pfx() + ln for ln in items)
-                # reference tail: a lone prefixed blank then a blank line
-                lines.append(">" * depth + " ")
-                lines.append("")
-                pending_list_tail = True
-            elif c.tag == "pre":
-                flush()
-                pending_list_tail = False
-                content = self._pre_text(c)
-                body = content.split("\n")
-                while body and body[-1] == "":
-                    body.pop()
-                if not lines:
-                    # the blank quote line appears only when the pre is the
-                    # quote's FIRST content (vendored-converter quirk) —
-                    # and it takes the opening chain at nested depth
-                    lines.append(pfx())
-                lines.append("[code]")
-                lines.extend(">" * depth + "     " + ln if ln else ">" * depth + " "
-                             for ln in body)
-                lines.append("[/code]")
-            elif c.tag in _BLOCK_TAGS:
-                flush()
-                pending_list_tail = False
-                emit_blocks(c)
-            else:
-                self._inline_node(c, inline, None)
-        flush()
-        return lines
-
-    def _list_items(self, node, lines, depth):
-        """Render list items.  Block children inside an <li> reproduce the
-        vendored converter's quirks (probed shape-for-shape): a table's
-        first row CONCATENATES onto the pending line text (item line or a
-        later tail line) with the remaining rows as bare unindented lines;
-        blockquotes emit their '> ' lines at column 0; pre emits
-        '[code]    first-line' joined; any inline text after a block child
-        lands on its own bare line; <p>/<div> inline their text then end
-        the current line."""
-        ordered = node.tag == "ol"
-        counter = 0
-        for c in node.children:
-            if isinstance(c, str) or c.tag != "li":
-                continue
-            counter += 1
-            mark = f"{counter}. " if ordered else "* "
-
-            first_parts: list[str] = []   # the item line's content
-            tail_lines: list[str] = []    # bare lines following it
-            inline = _Inline()
-            on_first = True  # pending text still belongs to the item line
-
-            def close_line(keep_empty_first=False):
-                nonlocal inline, on_first
-                text = inline.result()
-                if on_first:
-                    if text or keep_empty_first:
-                        first_parts.append(text)
-                    on_first = False
-                elif text:
-                    tail_lines.extend(text.split("\n"))
-                inline = _Inline()
-
-            def take_pending() -> str:
-                nonlocal inline
-                text = inline.result()
-                inline = _Inline()
-                return text
-
-            for cc in c.children:
-                if isinstance(cc, str):
-                    self._inline_node(cc, inline, None)
-                    continue
-                if cc.tag in _SKIP_TAGS:
-                    continue
-                if cc.tag in ("ul", "ol"):
-                    close_line(keep_empty_first=True)
-                    self._list_items(cc, tail_lines, depth + 1)
-                elif cc.tag == "table":
-                    text = self._table_block(cc)
-                    if text is None:
-                        continue
-                    rows = text.split("\n")
-                    pend = take_pending()
-                    if on_first:
-                        first_parts.append(pend + rows[0])
-                        on_first = False
-                        tail_lines.extend(rows[1:])
-                    elif pend:
-                        tail_lines.append(pend + rows[0])
-                        tail_lines.extend(rows[1:])
-                    else:
-                        tail_lines.extend(rows)
-                elif cc.tag == "blockquote":
-                    close_line(keep_empty_first=True)
-                    tail_lines.extend(self._quote_lines(cc, depth=1, chain=True))
-                elif cc.tag == "pre":
-                    close_line(keep_empty_first=True)
-                    body = self._pre_text(cc).split("\n")
-                    while body and body[-1] == "":
-                        body.pop()
-                    head = "[code]" + ("    " + body[0] if body else "")
-                    tail_lines.append(head)
-                    tail_lines.extend(
-                        "    " + ln if ln else "" for ln in body[1:]
-                    )
-                    tail_lines.append("[/code]")
-                elif cc.tag in _BLOCK_TAGS:
-                    # <p>/<div>/…: text joins the current line, then the
-                    # line ends (following content starts a bare line)
-                    self._inline_node_children(cc, inline)
-                    close_line()
-                else:
-                    self._inline_node(cc, inline, None)
-            close_line()
-            item_text = "".join(first_parts)
-            if item_text:
-                lines.append("  " * (depth + 1) + mark + item_text)
-            lines.extend(tail_lines)
-
-    # --------------------------------------------------------------- inline
-    def _render_inline(self, node, in_heading: bool = False) -> str:
-        inline = _Inline()
-        self._inline_node_children(node, inline)
-        return inline.result()
-
-    def _inline_node_children(self, node, inline):
-        for c in node.children:
-            self._inline_node(c, inline, None)
-
-    def _inline_node(self, c, inline, parent_tag):
-        if isinstance(c, str):
-            inline.text(c)
-            return
-        tag = c.tag
-        if tag in _SKIP_TAGS:
-            return
-        if tag in ("b", "strong"):
-            inline.open_strong()
-            self._inline_node_children(c, inline)
-            inline.marker("**")
-        elif tag in ("i", "em"):
-            inline.open_em()
-            self._inline_node_children(c, inline)
-            inline.marker("_")
-        elif tag == "code":
-            inline.stressed = False
-            if inline.preceding_stressed:
-                inline.preceding_stressed = False
-            inline.marker("`")
-            self._inline_node_children(c, inline)
-            inline.marker("`")
-        elif tag == "a":
-            href = c.get("href")
-            sub = _Inline()
-            # link text never gets the stressed space (reference rule)
-            sub.stressed = inline.stressed
-            inline.stressed = False
-            inline.preceding_stressed = False
-            self._inline_node_children(c, sub)
-            text = sub.result()
-            if href is None:
-                inline.text(text)
-            elif text == href and _ABS_URL_RE.match(href):
-                inline.marker(f"<{href}>")
-            else:
-                title = c.get("title")
-                suffix = f' "{title}"' if title is not None else ""
-                inline.marker(f"[{text}]({_escape_url(href)}{suffix})")
-            inline.preceding_data = text or href or ""
-        elif tag == "img":
-            src = c.get("src")
-            if src is None:
-                return  # no src, no markdown (reference: src required)
-            alt = c.get("alt") or ""
-            inline.marker(f"![{alt}]({_escape_url(src)})")
-            inline.preceding_data = alt or src
-        elif tag == "br":
-            inline.marker("  \n")
-        else:
-            self._inline_node_children(c, inline)
-
-    def _pre_text(self, node) -> str:
-        out: list[str] = []
-        stack = list(reversed(node.children))
-        while stack:
-            c = stack.pop()
-            if isinstance(c, str):
-                out.append(c)
-            else:
-                stack.extend(reversed(c.children))
-        return "".join(out).strip("\n")
+    def convert(self, html_text: str) -> str:
+        emitter = _MdEmitter(baseurl=self.baseurl)
+        emitter.feed(html_text or "")
+        emitter.feed("")
+        return emitter.finish()  # body_width=0: no wrapping pass
 
 
-def html_to_markdown(html: str) -> str:
-    """Module-level convenience (stateless; converter is cheap)."""
-    return MarkdownConverter().convert(html)
+def html_to_markdown(html_text: str) -> str:
+    return MarkdownConverter().convert(html_text)

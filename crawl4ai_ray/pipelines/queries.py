@@ -4162,23 +4162,32 @@ def events_props_stats(sf_dir: str):
 
 # ORDER MATTERS: the round driver evaluates only the FIRST 50 entries per
 # round, so the window must be 100% oracle-backed (round-3 verdict item
-# #2).  Layout: [1..50] the most load-bearing DuckDB-oracled pipelines —
-# every operator family keeps its flagship inside the window; [51..60] the
-# remaining oracled variants (judge-verifiable, same harness); [61..] the
-# rows-only crawl-engine/model demos with no SQL surface.
+# #2).  Layout: [1..50] DuckDB-oracled pipelines — every operator family
+# keeps a representative inside the window; [51..66] the remaining oracled
+# variants (judge-verifiable, same harness); [67..] the rows-only
+# crawl-engine/model demos with no SQL surface.
+#
+# ROTATION (round-5 verdict item #6): 8 long-unwitnessed oracled variants
+# moved INTO the window (top_suppliers_by_revenue, events_props_stats,
+# user_retention_cohorts, monthly_revenue_ma3, token_counts_bpe,
+# part_type_stats, events_value_zscores, distinct_users_by_type),
+# displacing same-family flagships already driver-witnessed green in
+# rounds 1-4 (top10_orders, events_by_type_day, user_session_stats,
+# events_hopping_windows, token_counts, lang_distribution,
+# events_value_percentiles, user_funnel_stages) to positions 51+.
 QUERIES = {
-    # -------- driver window: 50 oracled flagships --------
+    # -------- driver window: 50 oracled pipelines --------
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_nation": revenue_by_nation,
-    "top10_orders": top10_orders,
-    "events_by_type_day": events_by_type_day,
-    "user_session_stats": user_session_stats,
+    "top_suppliers_by_revenue": top_suppliers_by_revenue,
+    "events_props_stats": events_props_stats,
+    "user_retention_cohorts": user_retention_cohorts,
     "events_asof_orders": events_asof_orders,
-    "events_hopping_windows": events_hopping_windows,
+    "monthly_revenue_ma3": monthly_revenue_ma3,
     "dedup_exact": dedup_exact,
-    "token_counts": token_counts,
+    "token_counts_bpe": token_counts_bpe,
     "quality_scores": quality_scores,
-    "lang_distribution": lang_distribution,
+    "part_type_stats": part_type_stats,
     "fingerprint_md5": fingerprint_md5,
     "langid_predict": langid_predict,
     "doc_fingerprint_rolling": doc_fingerprint_rolling,
@@ -4195,9 +4204,9 @@ QUERIES = {
     "bigram_collocations": bigram_collocations,
     "pagerank_hashgraph": pagerank_hashgraph,
     "posting_lists": posting_lists,
-    "events_value_percentiles": events_value_percentiles,
+    "events_value_zscores": events_value_zscores,
     "events_value_ts_corr": events_value_ts_corr,
-    "user_funnel_stages": user_funnel_stages,
+    "distinct_users_by_type": distinct_users_by_type,
     "top_orders_per_segment": top_orders_per_segment,
     "order_lineitem_totals": order_lineitem_totals,
     "customers_never_active": customers_never_active,
@@ -4219,10 +4228,12 @@ QUERIES = {
     "table_roundtrip": table_roundtrip,
     "bm25_rank_docs": bm25_rank_docs,
     # -------- oracled variants outside the 50-slot window --------
-    "top_suppliers_by_revenue": top_suppliers_by_revenue,
-    "events_props_stats": events_props_stats,
-    "part_type_stats": part_type_stats,
-    "token_counts_bpe": token_counts_bpe,
+    # (all driver-witnessed green in rounds 1-4 or judge-verified at
+    # sf0.01; rotated out per round-5 item #6, still fully oracled)
+    "top10_orders": top10_orders,
+    "events_by_type_day": events_by_type_day,
+    "lang_distribution": lang_distribution,
+    "token_counts": token_counts,
     "chunks_sliding": chunks_sliding,
     "chunks_merged": chunks_merged,
     "revenue_by_returnflag": revenue_by_returnflag,
@@ -4230,10 +4241,10 @@ QUERIES = {
     "simhash_docs": simhash_docs,
     "neardup_component_sizes": neardup_component_sizes,
     "docs_split_stratified": docs_split_stratified,
-    "monthly_revenue_ma3": monthly_revenue_ma3,
-    "events_value_zscores": events_value_zscores,
-    "user_retention_cohorts": user_retention_cohorts,
-    "distinct_users_by_type": distinct_users_by_type,
+    "events_hopping_windows": events_hopping_windows,
+    "events_value_percentiles": events_value_percentiles,
+    "user_session_stats": user_session_stats,
+    "user_funnel_stages": user_funnel_stages,
     "jaccard_neardup_exact": jaccard_neardup_exact_pairs,
     # -------- rows-only demos (no SQL surface) --------
     "llm_extract_demo": llm_extract_demo,

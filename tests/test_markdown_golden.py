@@ -219,3 +219,135 @@ def test_generate_markdown_result_fields():
     # no filter → fit fields empty, citations off → raw passthrough
     r2 = generate_markdown(page, citations=False)
     assert r2["fit_markdown"] == "" and r2["markdown_with_citations"] == r2["raw_markdown"]
+
+
+# ------------------------------------------------------- seeded DOM fuzz
+# round-5 verdict item #7: the combo grid is closed; harden with a seeded
+# random-DOM generator (nesting depth ≤ 4 over the supported tag set)
+# asserting char-exact parity against the exec'd reference converter.
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+          "iota", "kappa", "x1", "y2", "z3", "due", "core", "mass"]
+_FUZZ_MAX_DEPTH = 4
+
+
+def _f_text(rng, n_max=5):
+    return " ".join(rng.choice(_WORDS) for _ in range(rng.randint(1, n_max)))
+
+
+def _f_inline(rng, depth):
+    r = rng.random()
+    if depth >= _FUZZ_MAX_DEPTH or r < 0.45:
+        return _f_text(rng)
+    if r < 0.55:
+        return f"<b>{_f_inline(rng, depth + 1)}</b>"
+    if r < 0.65:
+        return f"<i>{_f_inline(rng, depth + 1)}</i>"
+    if r < 0.72:
+        return f"<em>{_f_inline(rng, depth + 1)}</em>"
+    if r < 0.79:
+        return f"<strong>{_f_inline(rng, depth + 1)}</strong>"
+    if r < 0.86:
+        return f"<code>{_f_text(rng)}</code>"
+    if r < 0.93:
+        t = _f_text(rng, 2)
+        return f'<a href="http://x.test/{rng.randint(0, 99)}">{t}</a>'
+    if r < 0.97:
+        return f'<img src="http://x.test/i{rng.randint(0, 99)}.jpg" alt="{_f_text(rng, 2)}">'
+    return f"{_f_text(rng, 2)}<br>{_f_text(rng, 2)}"
+
+
+def _f_inline_run(rng, depth):
+    return " ".join(_f_inline(rng, depth) for _ in range(rng.randint(1, 3)))
+
+
+def _f_list(rng, depth, ordered):
+    tag = "ol" if ordered else "ul"
+    items = []
+    for _ in range(rng.randint(1, 3)):
+        inner = _f_inline_run(rng, depth + 1)
+        if depth + 1 < _FUZZ_MAX_DEPTH and rng.random() < 0.3:
+            inner += _f_list(rng, depth + 1, rng.random() < 0.5)
+        items.append(f"<li>{inner}</li>")
+    return f"<{tag}>{''.join(items)}</{tag}>"
+
+
+def _f_block(rng, depth):
+    r = rng.random()
+    if r < 0.3:
+        return f"<p>{_f_inline_run(rng, depth)}</p>"
+    if r < 0.4:
+        lvl = rng.randint(1, 4)
+        return f"<h{lvl}>{_f_inline(rng, depth + 1)}</h{lvl}>"
+    if r < 0.55:
+        return _f_list(rng, depth, rng.random() < 0.5)
+    if r < 0.7:
+        inner = _f_block(rng, depth + 1) if (
+            depth + 1 < _FUZZ_MAX_DEPTH and rng.random() < 0.5
+        ) else _f_inline_run(rng, depth + 1)
+        return f"<blockquote>{inner}</blockquote>"
+    if r < 0.78:
+        lines = "\n".join(_f_text(rng) for _ in range(rng.randint(1, 3)))
+        return f"<pre><code>{lines}</code></pre>"
+    if r < 0.86:
+        rows = []
+        ncols = rng.randint(1, 3)
+        for ri in range(rng.randint(1, 3)):
+            cell = "th" if ri == 0 and rng.random() < 0.5 else "td"
+            cells = "".join(
+                f"<{cell}>{_f_text(rng, 2)}</{cell}>" for _ in range(ncols)
+            )
+            rows.append(f"<tr>{cells}</tr>")
+        return f"<table>{''.join(rows)}</table>"
+    if r < 0.92:
+        pairs = "".join(
+            f"<dt>{_f_text(rng, 2)}</dt><dd>{_f_inline_run(rng, depth + 1)}</dd>"
+            for _ in range(rng.randint(1, 2))
+        )
+        return f"<dl>{pairs}</dl>"
+    if r < 0.96:
+        return "<hr>"
+    return _f_inline_run(rng, depth)  # bare top-level inline content
+
+
+def _f_doc(rng):
+    return "".join(_f_block(rng, 0) for _ in range(rng.randint(1, 6)))
+
+
+def test_markdown_parity_fuzz_random_dom(ref_convert):
+    """300 seeded random documents, char-exact parity with the exec'd
+    reference converter.  Any divergence is either a converter bug to fix
+    or a reference quirk to pin explicitly in GOLDENS/PARITY_EXTRA."""
+    import random
+
+    rng = random.Random(20260818)
+    for i in range(300):
+        html = _f_doc(rng)
+        assert html_to_markdown(html) == ref_convert(html), (i, html)
+
+
+_NASTY = ["a*b", "x_y", "1.", "2. x", "-", "- y", "+", "+ z", "\\", "\\*lit",
+          "[br]", "(par)", "#tag", "`tick`", "~t~", "a  b", " lead", "trail ",
+          "5 . 6", "dot.", "e!", "q?", "&", "<", ">", '"q"', "a\nb"]
+
+
+def test_markdown_parity_fuzz_nasty_chars(ref_convert):
+    """Markdown-sensitive characters (escape rules, whitespace collapse,
+    entity boundaries) across block shapes — char-exact vs the reference."""
+    import html as _h
+    import random
+
+    rng = random.Random(7)
+    for i in range(250):
+        words = [rng.choice(_NASTY + _WORDS) for _ in range(rng.randint(1, 6))]
+        esc = _h.escape(" ".join(words))
+        shapes = [
+            f"<p>{esc}</p>", f"<b>{esc}</b>", f"<blockquote>{esc}</blockquote>",
+            f"<ul><li>{esc}</li></ul>", f"<pre><code>{esc}</code></pre>",
+            f"<p><code>{esc}</code></p>", f"<h2>{esc}</h2>",
+            f'<p><a href="http://x/{i}">{esc}</a></p>',
+            f"<p>{esc}<em>{esc}</em></p>",
+            f"<table><tr><td>{esc}</td></tr></table>",
+        ]
+        doc = "".join(rng.sample(shapes, rng.randint(1, 3)))
+        assert html_to_markdown(doc) == ref_convert(doc), (i, doc)
