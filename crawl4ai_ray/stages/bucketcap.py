@@ -115,6 +115,19 @@ def task_pairs_indices(
     return iu, ju
 
 
+def bounded_upper_bound(total: int, seen: int, floor: int,
+                        num_blocks: int) -> int:
+    """Upper bound on a key's TRUE row count from ≥floor per-block partials:
+    blocks that emitted (``seen``) contribute exactly their counts
+    (``total``); each silent block holds ≤ floor-1 rows of the key, so the
+    bound is total + (floor-1)·(num_blocks-seen).  No-miss invariant
+    (pinned by a hypothesis property test): true_count > max_bucket ⇒
+    bound > max_bucket whenever floor ≥ 2 and every block emitted at
+    ≥floor — i.e. an oversized key can never slip through, only a
+    not-actually-oversized key can be conservatively chunked."""
+    return total + (floor - 1) * (num_blocks - seen)
+
+
 DRIVER_PROBE_ROWS = 500_000
 # bounded-block regime needs floor ≥ 2 for EXACTNESS but also a floor high
 # enough that ≥f partials are genuinely rare — at floor 2-7 a dup-heavy
@@ -204,7 +217,7 @@ def _probe_oversized(
                 s[1] += 1
             out = {}
             for k, (total, seen) in agg.items():
-                upper = total + (floor - 1) * (num_blocks - seen)
+                upper = bounded_upper_bound(total, seen, floor, num_blocks)
                 if upper > max_bucket:
                     out[k] = math.ceil(upper / max_bucket)
             return out
