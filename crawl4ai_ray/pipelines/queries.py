@@ -742,14 +742,21 @@ def simhash_docs(sf_dir: str):
     return simhash_signatures(ds)
 
 
-def jaccard_neardup_exact_pairs(sf_dir: str):
-    """Exact all-pairs n-gram jaccard (brute-force baseline for the
-    minhash-LSH scale path, like embedding_neardup is for the LSH embedding
-    path); SQL-oracled."""
-    from ..stages.dedup import jaccard_neardup_exact
+def jaccard_neardup_exact_pairs(sf_dir: str,
+                                broadcast_threshold: int = 200_000):
+    """Exact all-pairs n-gram jaccard, size-adaptive like embedding_neardup:
+    shingle-table broadcast below the row threshold, block-pair
+    decomposition above (worker memory bounded by two blocks, no broadcast,
+    no driver materialization — the work stays O(n²) because exact
+    all-pairs is inherently quadratic; minhash_dedup_pairs is the
+    sub-quadratic path); SQL-oracled."""
+    from ..stages.dedup import jaccard_neardup_exact, jaccard_neardup_exact_blockwise
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return jaccard_neardup_exact(ds, threshold=0.5)
+    n_docs = _parquet_num_rows(f"{sf_dir}/documents.parquet")
+    if n_docs <= broadcast_threshold:
+        return jaccard_neardup_exact(ds, threshold=0.5)
+    return jaccard_neardup_exact_blockwise(ds, threshold=0.5)
 
 
 def simhash_neardup_pairs(sf_dir: str):
@@ -2281,18 +2288,37 @@ def embedding_kmeans_assign(sf_dir: str):
     )
 
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.3):
-    """All-pairs cosine ≥ threshold (brute-force blocked matmul against a
-    broadcast normalized matrix)."""
+def embedding_neardup(sf_dir: str, threshold: float = 0.3,
+                      broadcast_threshold: int = 200_000):
+    """EXACT all-pairs cosine ≥ threshold, size-adaptive (the revenue
+    dim-join switch): ≤ ``broadcast_threshold`` vectors → brute-force
+    blocked matmul against a broadcast normalized matrix (one matmul per
+    batch, fastest at bench scale); above → block-PAIR decomposition
+    (stages/similarity.py::cosine_neardup_pairs_blockwise — worker memory
+    bounded by two blocks, nothing corpus-sized broadcast or driver-held;
+    the work stays O(n²·d) because exact all-pairs is inherently
+    quadratic — embedding_neardup_lsh is the sub-quadratic path)."""
     import pyarrow.parquet as pq
 
-    from ..stages.similarity import cosine_neardup_pairs, _normalize
+    from ..stages.similarity import (
+        _normalize,
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_blockwise,
+    )
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(t.column("vec_id").to_pylist())
-    m = _normalize(np.asarray(t.column("embedding").to_pylist(), dtype=np.float64))
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    pairs = cosine_neardup_pairs(ds, threshold=threshold, full_matrix=(ids, m))
+    n_vecs = _parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    if n_vecs <= broadcast_threshold:
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = np.asarray(t.column("vec_id").to_pylist())
+        m = _normalize(
+            np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        pairs = cosine_neardup_pairs(ds, threshold=threshold, full_matrix=(ids, m))
+    else:
+        pairs = cosine_neardup_pairs_blockwise(ds, threshold=threshold)
     return pa.Table.from_pylist(pairs.take_all())
 
 

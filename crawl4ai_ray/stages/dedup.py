@@ -448,6 +448,89 @@ def jaccard_neardup_exact(ds, threshold: float = 0.5, shingle_k: int = 3):
     return sh_ds.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def jaccard_neardup_exact_blockwise(ds, threshold: float = 0.5,
+                                    shingle_k: int = 3):
+    """EXACT all-pairs jaccard WITHOUT the corpus-wide shingle broadcast —
+    the 100-TB-shaped decomposition of ``jaccard_neardup_exact`` (the
+    cosine_neardup_pairs_blockwise pattern): shingle rows materialize into
+    blocks, one task per block PAIR (i ≤ j) compares just those two
+    blocks, so worker memory is bounded by two blocks and the driver never
+    holds the corpus.  Still O(n²) comparisons total (inherent to the
+    exact baseline; minhash_dedup_pairs is the sub-quadratic path) —
+    byte-identical pair set and jaccard values to the broadcast regime."""
+    import ray as _ray
+    import ray.data as rd
+
+    from ..functions.numeric import duck_round
+
+    sh_ds = ds.map_batches(
+        ShingleHashStage,
+        fn_constructor_kwargs=dict(shingle_k=shingle_k),
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+        zero_copy_batch=True,
+    ).materialize()
+    refs = sh_ds.to_arrow_refs()
+    nb = len(refs)
+    empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+    if nb == 0:
+        return rd.from_arrow(empty)
+    idx = rd.from_items(
+        [{"bi": i, "bj": j} for i in range(nb) for j in range(i, nb)]
+    )
+
+    def _block(t: pa.Table):
+        ids = t.column("doc_id").to_pylist()
+        sets = [np.frombuffer(s, dtype=np.uint64) for s in t.column("sh").to_pylist()]
+        return ids, sets
+
+    def _jac(ha: np.ndarray, hb: np.ndarray) -> float:
+        if len(ha) == 0 and len(hb) == 0:
+            return 1.0
+        inter = len(np.intersect1d(ha, hb, assume_unique=True))
+        union = len(ha) + len(hb) - inter
+        return inter / union if union else 0.0
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        a_out, b_out, j_out = [], [], []
+        for bi, bj in zip(
+            batch.column("bi").to_pylist(), batch.column("bj").to_pylist()
+        ):
+            ids_a, sets_a = _block(_ray.get(refs[bi]))
+            ids_b, sets_b = (
+                (ids_a, sets_a) if bj == bi else _block(_ray.get(refs[bj]))
+            )
+            for p, (ida, ha) in enumerate(zip(ids_a, sets_a)):
+                q0 = p + 1 if bi == bj else 0
+                for q in range(q0, len(ids_b)):
+                    idb = ids_b[q]
+                    if ida == idb:
+                        continue
+                    jac = _jac(ha, sets_b[q])
+                    if jac >= threshold:
+                        lo, hi = (ida, idb) if ida < idb else (idb, ida)
+                        a_out.append(lo)
+                        b_out.append(hi)
+                        j_out.append(float(duck_round(jac, 4)))
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, type=pa.int64()),
+                "id_b": pa.array(b_out, type=pa.int64()),
+                "jaccard": pa.array(j_out, type=pa.float64()),
+            }
+        )
+
+    return idx.map_batches(
+        _cross, batch_size=1, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ----------------------------------------------------------------- simhash
 class SimHashBandStage:
     """Stateful map_batches stage: text → one row per 16-bit simhash band

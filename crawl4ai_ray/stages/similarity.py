@@ -112,6 +112,100 @@ def cosine_neardup_pairs(
     return ds.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def cosine_neardup_pairs_blockwise(
+    ds,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """EXACT all-pairs cosine ≥ threshold WITHOUT the broadcast matrix —
+    the 100-TB-shaped decomposition of ``cosine_neardup_pairs``: the
+    normalized corpus materializes into blocks, one task per block PAIR
+    (i ≤ j) matmuls just those two blocks, so worker memory is bounded by
+    two blocks regardless of corpus size and nothing corpus-sized touches
+    the driver or the object store as one object.  Work is still O(n²·d)
+    total — all-pairs is inherently quadratic; this spreads it over
+    B·(B+1)/2 independent tasks — byte-identical output to the broadcast
+    regime (same normalize/matmul kernels, same id_a < id_b emission,
+    each unordered pair owned by exactly one block pair).
+
+    The block-pair index rides a tiny Dataset (one row per pair) and each
+    task ``ray.get``s its two pinned block refs — the documented
+    partitioning assumption: blocks of the MATERIALIZED dataset are the
+    unit of pairing, so the upstream block size bounds task memory."""
+    import ray as _ray
+    import ray.data as rd
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch, vec_col))
+        ids = np.asarray(batch.column(id_col).to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "_vec": pa.array(list(m), type=pa.list_(pa.float64())),
+            }
+        )
+
+    mat = ds.map_batches(
+        _prep, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    refs = mat.to_arrow_refs()
+    nb = len(refs)
+    if nb == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    idx = rd.from_items(
+        [{"bi": i, "bj": j} for i in range(nb) for j in range(i, nb)]
+    )
+
+    def _block(t: pa.Table):
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+        vecs = _matrix(t, "_vec")  # already normalized upstream
+        return ids, vecs
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        a_out, b_out, c_out = [], [], []
+        for bi, bj in zip(
+            batch.column("bi").to_pylist(), batch.column("bj").to_pylist()
+        ):
+            ids_a, m_a = _block(_ray.get(refs[bi]))
+            ids_b, m_b = (
+                (ids_a, m_a) if bj == bi else _block(_ray.get(refs[bj]))
+            )
+            cos = m_a @ m_b.T
+            rows, cols = np.nonzero(cos >= threshold)
+            for r, c in zip(rows, cols):
+                a, b = int(ids_a[r]), int(ids_b[c])
+                if bi == bj:
+                    if not a < b:
+                        continue
+                elif a == b:
+                    continue
+                elif a > b:
+                    a, b = b, a
+                a_out.append(a)
+                b_out.append(b)
+                c_out.append(round(float(cos[r, c]), 4))
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, type=pa.int64()),
+                "id_b": pa.array(b_out, type=pa.int64()),
+                "cos": pa.array(c_out, type=pa.float64()),
+            }
+        )
+
+    return idx.map_batches(
+        _cross, batch_size=1, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 class HyperplaneLSHStage:
     """Random-hyperplane signature stage (stateful: planes drawn once per
     worker from a fixed seed).  bucket = sign-bit prefix of the projection —

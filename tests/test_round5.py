@@ -164,3 +164,19 @@ def test_conditional_head_accepts_proxy_kwarg():
     for cls in (SyntheticTransport, HttpTransport):
         sig = inspect.signature(cls.conditional_head)
         assert "proxy" in sig.parameters
+
+
+@pytest.mark.parametrize("qname", ["embedding_neardup", "jaccard_neardup_exact_pairs"])
+def test_allpairs_blockwise_regime_equivalence(ray_session, qname):
+    """The broadcast brute-force regime and the block-pair decomposition
+    must produce identical pair tables — threshold=0 forces the blockwise
+    path on the same input."""
+    from crawl4ai_ray.pipelines import queries as Q
+
+    fn = getattr(Q, qname)
+    a = fn(SF)
+    b = fn(SF, broadcast_threshold=0)
+    at = a if isinstance(a, pa.Table) else pa.Table.from_pylist(a.take_all())
+    bt = b if isinstance(b, pa.Table) else pa.Table.from_pylist(b.take_all())
+    assert _canon(at).equals(_canon(bt))
+    assert at.num_rows > 0  # planted dups exist at sf0.001
