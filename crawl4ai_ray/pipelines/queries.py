@@ -4186,6 +4186,271 @@ def events_props_stats(sf_dir: str):
     )
 
 
+def order_top_lineitem(sf_dir: str):
+    """Per-key ARGMAX as a first-class distributed reduce: for every order,
+    the lineitem with the highest extendedprice (ties → lowest linenumber).
+    Ray shape: the (value, tiebreak) pair packs into ONE int64 —
+    ``price_cents * 8 + (7 - linenumber)`` (linenumber ∈ 1..7 per TPC-H, so
+    3 bits suffice and max-of-pack == lexicographic (max price, min
+    linenumber)) — per-batch scatter-max combiner (np.maximum.at over the
+    np.unique inverse index, one candidate row per (batch, order) crosses
+    the exchange), then a plain groupby Max and a decode map.  No sort, no
+    windows, one all-to-all of batch-grain candidates.  Both sides order by
+    exact integer CENTS (the raw doubles carry float noise past 2 decimals,
+    so cent-precision is the operator's documented contract)."""
+    from ..functions.numeric import cents
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def _candidates(b: pa.Table) -> pa.Table:
+        price_c = cents(_np(b, "l_extendedprice"))
+        ln = _np(b, "l_linenumber").astype(np.int64)
+        pack = price_c * 8 + (7 - ln)
+        keys = _np(b, "l_orderkey")
+        uniq, inv = np.unique(keys, return_inverse=True)
+        best = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(best, inv, pack)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uniq.tolist(), type=pa.int64()),
+                "pack": pa.array(best.tolist(), type=pa.int64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(_candidates, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Max(on="pack", alias_name="pack"))
+    )
+
+    def _decode(b: pa.Table) -> pa.Table:
+        pack = _np(b, "pack")
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_linenumber": pa.array(
+                    (7 - (pack % 8)).astype(np.int32), type=pa.int32()
+                ),
+                "price": pa.array((pack // 8) / 100.0, type=pa.float64()),
+            }
+        )
+
+    return top.map_batches(_decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def customers_with_old_orders(sf_dir: str, cutoff: str = "1996-01-01"):
+    """Semi-join (EXISTS) — the keep-on-match complement of
+    ``customers_never_active``'s anti-join, same tagged-union shape:
+    customers with at least one order strictly before the cutoff date.
+    Customer rows union per-batch-DISTINCT matching-order custkeys (the
+    filter pushes into the probe map, so only pre-cutoff orders emit
+    probes and each (batch, custkey) ships once), one all-to-all, per-key
+    group keeps the customer row only when a probe arrived.  Works with
+    BOTH sides fact-sized — no broadcast, no driver state."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    cut = pa.scalar(np.datetime64(cutoff, "us"), type=pa.timestamp("us"))
+
+    def _cust_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("c_custkey"),
+                "seg": b.column("c_mktsegment"),
+                "is_probe": pa.array(np.zeros(b.num_rows, dtype=bool)),
+            }
+        )
+
+    def _order_probe(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("o_orderdate"), cut))
+        ks = pc.unique(b.column("o_custkey"))
+        return pa.table(
+            {
+                "key": pc.cast(ks, pa.int64()),
+                "seg": pa.nulls(len(ks), type=pa.string()),
+                "is_probe": pa.array(np.ones(len(ks), dtype=bool)),
+            }
+        )
+
+    u = cust.map_batches(_cust_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+        orders.map_batches(_order_probe, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def _keep_matched(g: pa.Table) -> pa.Table:
+        is_probe = g.column("is_probe").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {"c_custkey": pa.array([], type=pa.int64()),
+             "c_mktsegment": pa.array([], type=pa.string())}
+        )
+        if not is_probe.any():
+            return empty
+        c = g.filter(pa.array(~is_probe)).slice(0, 1)
+        if c.num_rows == 0:  # probe key outside the customer table
+            return empty
+        return pa.table(
+            {"c_custkey": c.column("key"), "c_mktsegment": c.column("seg")}
+        )
+
+    return u.groupby("key").map_groups(_keep_matched, batch_format="pyarrow")
+
+
+def customer_order_ranks(sf_dir: str):
+    """ROW_NUMBER window over high-cardinality partitions: every order's
+    rank within its customer by totalprice (desc, orderkey tiebreak).
+    Ray shape: groupby(partition key).map_groups with a vectorized
+    np.lexsort inside each group — the group is ONE customer's orders
+    (bounded by per-entity activity, never corpus size), so the shuffle is
+    the only all-to-all and no full sort or boundary-stitching is needed.
+    [repartition(keys=...) + per-block rank would save the group-by-group
+    dispatch, but key-hash repartition requires the HASH_SHUFFLE context
+    globally in this Ray version — the groupby form is the portable
+    co-location primitive.]  Ranks order by exact integer cents on both
+    sides (raw doubles carry float noise past 2 decimals)."""
+    from ..functions.numeric import cents
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _rank(g: pa.Table) -> pa.Table:
+        okeys = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        price_c = cents(_np(g, "o_totalprice"))
+        # lexsort: last key is primary → (-price, orderkey asc)
+        order = np.lexsort((okeys, -price_c))
+        rnk = np.empty(len(okeys), dtype=np.int64)
+        rnk[order] = np.arange(1, len(okeys) + 1)
+        return pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "o_custkey": g.column("o_custkey"),
+                "rnk": pa.array(rnk, type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(_rank, batch_format="pyarrow")
+
+
+def small_quantity_revenue(sf_dir: str,
+                           dim_broadcast_threshold: int = DIM_BROADCAST_MAX_ROWS):
+    """Correlated-subquery decorrelation (TPC-H Q17 shape): total revenue
+    of lineitems whose quantity is below 20% of their part's average
+    quantity, scaled to a yearly figure.  Ray shape: pass 1 aggregates
+    per-part (sum qty, count) via scatter-add batch partials + a part-grain
+    groupby; pass 2 is size-adaptive like the revenue family — below
+    ``dim_broadcast_threshold`` parts the per-part thresholds broadcast via
+    ray.put and the filter+sum runs as one streaming map over lineitem;
+    above it, threshold rows union with lineitem rows (tagged) and a
+    groupby(l_partkey).map_groups applies the filter per part-group (group
+    = one part's lineitems, bounded per TPC-H at ~30 rows regardless of
+    SF), so nothing part-sized ever materializes on the driver.  The
+    threshold is computed as ``0.2 * (sum/count)`` in float64 on BOTH
+    sides (quantities are integral doubles, so the sum is exact in any
+    order); revenue sums in exact int cents."""
+    from ..functions.numeric import cents, duck_round
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def _qty_partials(b: pa.Table) -> pa.Table:
+        keys = _np(b, "l_partkey")
+        qty = _np(b, "l_quantity").astype(np.int64)  # integral by contract
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sq = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sq, inv, qty)
+        return pa.table(
+            {
+                "l_partkey": pa.array(uniq.tolist(), type=pa.int64()),
+                "sq": pa.array(sq.tolist(), type=pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64).tolist(),
+                              type=pa.int64()),
+            }
+        )
+
+    thr = (
+        ds.map_batches(_qty_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(Sum(on="sq", alias_name="sq"), Sum(on="n", alias_name="n"))
+    )
+
+    n_parts = _parquet_num_rows(f"{sf_dir}/part.parquet")
+    if n_parts <= dim_broadcast_threshold:
+        # part-grain result is dim-bounded: collect → broadcast once
+        tmap = {
+            r["l_partkey"]: 0.2 * (r["sq"] / r["n"]) for r in thr.take_all()
+        }
+        ref = ray.put(tmap)
+
+        def _filter_sum(b: pa.Table) -> pa.Table:
+            lookup = ray.get(ref)
+            qty = _np(b, "l_quantity")
+            price_c = cents(_np(b, "l_extendedprice"))
+            t = np.asarray(
+                [lookup[k] for k in b.column("l_partkey").to_pylist()]
+            )
+            keep = qty < t
+            return pa.table(
+                {"sum_c": pa.array([int(price_c[keep].sum())], type=pa.int64())}
+            )
+
+        partials = ds.map_batches(
+            _filter_sum, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        def _thr_rows(b: pa.Table) -> pa.Table:
+            sq = _np(b, "sq").astype(np.float64)
+            n = _np(b, "n").astype(np.float64)
+            return pa.table(
+                {
+                    "l_partkey": b.column("l_partkey"),
+                    "qty": pa.array(0.2 * (sq / n), type=pa.float64()),
+                    "price_c": pa.nulls(b.num_rows, type=pa.int64()),
+                }
+            )
+
+        def _fact_rows(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_partkey": b.column("l_partkey"),
+                    "qty": pc.cast(b.column("l_quantity"), pa.float64()),
+                    "price_c": pa.array(
+                        cents(_np(b, "l_extendedprice")), type=pa.int64()
+                    ),
+                }
+            )
+
+        u = thr.map_batches(
+            _thr_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            ds.map_batches(_fact_rows, batch_format="pyarrow", zero_copy_batch=True)
+        )
+
+        def _group_sum(g: pa.Table) -> pa.Table:
+            price_c = g.column("price_c").to_numpy(zero_copy_only=False)
+            is_thr = np.asarray(
+                [p is None for p in g.column("price_c").to_pylist()]
+            )
+            t = float(g.filter(pa.array(is_thr)).column("qty")[0].as_py())
+            qty = g.column("qty").to_numpy(zero_copy_only=False)
+            keep = (~is_thr) & (qty < t)
+            s = price_c[keep]
+            total = int(np.nansum(s.astype(np.float64))) if len(s) else 0
+            return pa.table({"sum_c": pa.array([total], type=pa.int64())})
+
+        partials = u.groupby("l_partkey").map_groups(
+            _group_sum, batch_format="pyarrow"
+        )
+
+    total_c = sum(r["sum_c"] for r in partials.take_all())
+    return pa.table(
+        {
+            "avg_yearly": pa.array(
+                [float(duck_round(total_c / 100.0 / 7.0, 2))], type=pa.float64()
+            )
+        }
+    )
+
+
 # ORDER MATTERS: the round driver evaluates only the FIRST 50 entries per
 # round, so the window must be 100% oracle-backed (round-3 verdict item
 # #2).  Layout: [1..50] DuckDB-oracled pipelines — every operator family
@@ -4201,6 +4466,14 @@ def events_props_stats(sf_dir: str):
 # rounds 1-4 (top10_orders, events_by_type_day, user_session_stats,
 # events_hopping_windows, token_counts, lang_distribution,
 # events_value_percentiles, user_funnel_stages) to positions 51+.
+# Second round-5 rotation: the four NEW operator classes
+# (order_top_lineitem, customers_with_old_orders, customer_order_ranks,
+# small_quantity_revenue) enter the window, displacing four more
+# multi-round-witnessed entries (docs_hash_sample, media_catalog,
+# chunks_fixed, structured_xpath_roundtrip) whose families keep in-window
+# representatives (docs_split_stratified is out-of-window but hash-family
+# fingerprint_md5 stays; spans/media: spans_flat; chunkers:
+# token_counts_bpe; structured extraction: structured_roundtrip).
 QUERIES = {
     # -------- driver window: 50 oracled pipelines --------
     "q1_pricing_summary": q1_pricing_summary,
@@ -4221,7 +4494,10 @@ QUERIES = {
     "minhash_neardup_pairs": minhash_neardup_pairs,
     "neardup_components": neardup_components,
     "dedup_keep_one": dedup_keep_one,
-    "docs_hash_sample": docs_hash_sample,
+    "order_top_lineitem": order_top_lineitem,
+    "customers_with_old_orders": customers_with_old_orders,
+    "customer_order_ranks": customer_order_ranks,
+    "small_quantity_revenue": small_quantity_revenue,
     "repetition_scores": repetition_scores,
     "decontaminate_docs": decontaminate_docs,
     "vocab_topk": vocab_topk,
@@ -4246,16 +4522,17 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "spans_flat": spans_flat,
-    "media_catalog": media_catalog,
-    "chunks_fixed": chunks_fixed,
     "regex_numbers_events": regex_numbers_events,
     "structured_roundtrip": structured_roundtrip,
-    "structured_xpath_roundtrip": structured_xpath_roundtrip,
     "table_roundtrip": table_roundtrip,
     "bm25_rank_docs": bm25_rank_docs,
     # -------- oracled variants outside the 50-slot window --------
     # (all driver-witnessed green in rounds 1-4 or judge-verified at
     # sf0.01; rotated out per round-5 item #6, still fully oracled)
+    "docs_hash_sample": docs_hash_sample,
+    "media_catalog": media_catalog,
+    "chunks_fixed": chunks_fixed,
+    "structured_xpath_roundtrip": structured_xpath_roundtrip,
     "top10_orders": top10_orders,
     "events_by_type_day": events_by_type_day,
     "lang_distribution": lang_distribution,
@@ -4760,6 +5037,54 @@ ORACLE_SQL = {
                quantile_cont(value, 0.95) AS p95,
                quantile_cont(value, 0.99) AS p99
         FROM events GROUP BY event_type
+    """,
+    "order_top_lineitem": """
+        WITH c AS (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c
+            FROM lineitem
+        ), r AS (
+            SELECT l_orderkey, l_linenumber, price_c,
+                   row_number() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY price_c DESC, l_linenumber
+                   ) AS rn
+            FROM c
+        )
+        SELECT l_orderkey, l_linenumber, price_c / 100.0 AS price
+        FROM r WHERE rn = 1
+    """,
+    "customers_with_old_orders": """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        )
+    """,
+    "customer_order_ranks": """
+        WITH c AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY price_c DESC, o_orderkey
+               ) AS rnk
+        FROM c
+    """,
+    "small_quantity_revenue": """
+        WITH t AS (
+            SELECT l_partkey AS pk,
+                   0.2 * (sum(CAST(l_quantity AS BIGINT)) / count(*)) AS thr
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     / 100.0 / 7.0, 2) AS avg_yearly
+        FROM lineitem l JOIN t ON l.l_partkey = t.pk
+        WHERE l.l_quantity < t.thr
     """,
     "jaccard_neardup_exact": _sql_jaccard_exact(),
     "simhash_docs": _sql_simhash(),
