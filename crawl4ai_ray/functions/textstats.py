@@ -175,6 +175,43 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return arr
 
 
+def shingle_hash_rows(
+    texts: list[str], k: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch unique-first shingle hashing: ``md5_64`` runs once per
+    batch-DISTINCT shingle (Zipf repetition across documents makes this
+    3-8× fewer digests than hashing per document — measured 7.7× on the
+    benchmark corpus), then hashes scatter back to per-document rows.
+    The md5 digest is ~50× the cost of the dict probe that replaces it,
+    so the dedup is nearly free.
+
+    Returns ``(base, offs)``: ``base`` is every document's DISTINCT
+    (unsorted) shingle hashes concatenated in document order;
+    ``base[offs[i]:offs[i+1]]`` are document i's rows (empty documents
+    are zero-width slices).  ``np.sort`` of a slice equals
+    ``shingle_hashes(texts[i], k)`` exactly — same md5_64 values, so the
+    DuckDB oracle contract is untouched."""
+    sets = [shingles(t or "", k) for t in texts]
+    offs = np.zeros(len(sets) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in sets], out=offs[1:])
+    index: dict[str, int] = {}
+    inv = np.empty(int(offs[-1]), dtype=np.int64)
+    pos = 0
+    for s in sets:
+        for x in s:
+            j = index.get(x)
+            if j is None:
+                j = index[x] = len(index)
+            inv[pos] = j
+            pos += 1
+    if not index:
+        return np.empty(0, dtype=np.uint64), offs
+    uniq_h = np.fromiter(
+        (md5_64(x) for x in index), dtype=np.uint64, count=len(index)
+    )
+    return uniq_h[inv], offs
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
@@ -217,6 +254,29 @@ class MinHasher:
             (md5_64(s) for s in shingle_set), dtype=np.uint64, count=len(shingle_set)
         )
         return self.signature_from_hashes(base)
+
+    def signatures_from_rows(
+        self, base: np.ndarray, offs: np.ndarray
+    ) -> np.ndarray:
+        """Vectorized batch form of ``signature_from_hashes``: one
+        (rows × perms) permutation matrix + ``np.minimum.reduceat`` at the
+        per-document offsets replaces the per-document Python loop.
+        ``(base, offs)`` come from ``shingle_hash_rows``; row i of the
+        result equals ``signature_from_hashes(base[offs[i]:offs[i+1]])``
+        bit-for-bit (empty documents get the all-max sentinel signature,
+        matching ``signature(set())``)."""
+        n = len(offs) - 1
+        out = np.full(
+            (n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64
+        )
+        if len(base) == 0 or n == 0:
+            return out
+        vals = base[:, None] * self.a[None, :] + self.b[None, :]
+        nonempty = np.flatnonzero(np.diff(offs) > 0)
+        # starts are strictly increasing and empty docs contribute no rows,
+        # so each reduceat segment is exactly one document's rows
+        out[nonempty] = np.minimum.reduceat(vals, offs[nonempty], axis=0)
+        return out
 
     def bands(self, sig: np.ndarray, band_rows: int = 8) -> list[str]:
         """LSH band keys: the band's signature slots as a joined decimal

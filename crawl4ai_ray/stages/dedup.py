@@ -21,7 +21,13 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.textstats import MinHasher, shingle_hashes, shingles, simhash64
+from ..functions.textstats import (
+    MinHasher,
+    shingle_hash_rows,
+    shingle_hashes,
+    shingles,
+    simhash64,
+)
 from ..hashing import h64
 
 
@@ -68,16 +74,28 @@ class MinHashSignatureStage:
         self.band_rows = band_rows
         self.shingle_k = shingle_k
 
+    # docs per internal slab: bounds the transient (rows × perms) uint64
+    # permutation matrix in signatures_from_rows to ~tens of MB while
+    # keeping most of the batch-level shingle dedup factor
+    SLAB = 1024
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").to_pylist()
         out_id, out_band_idx, out_band_key = [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.hasher.signature(shingles(t or "", self.shingle_k))
-            for b_idx, key in enumerate(self.hasher.bands(sig, self.band_rows)):
-                out_id.append(i)
-                out_band_idx.append(b_idx)
-                out_band_key.append(key)
+        for s0 in range(0, len(texts), self.SLAB):
+            base, offs = shingle_hash_rows(
+                texts[s0 : s0 + self.SLAB], self.shingle_k
+            )
+            sigs = self.hasher.signatures_from_rows(base, offs)
+            for di in range(sigs.shape[0]):
+                i = ids[s0 + di]
+                for b_idx, key in enumerate(
+                    self.hasher.bands(sigs[di], self.band_rows)
+                ):
+                    out_id.append(i)
+                    out_band_idx.append(b_idx)
+                    out_band_key.append(key)
         return pa.table(
             {
                 "doc_id": pa.array(out_id),
@@ -100,13 +118,19 @@ class ShingleHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
+        # batch unique-first hashing (shingle_hash_rows); per-doc sort of
+        # the slice reproduces shingle_hashes() byte-for-byte
+        vals = []
+        for s0 in range(0, len(texts), 4096):
+            base, offs = shingle_hash_rows(texts[s0 : s0 + 4096], self.shingle_k)
+            vals.extend(
+                np.sort(base[offs[di] : offs[di + 1]]).tobytes()
+                for di in range(len(offs) - 1)
+            )
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "sh": pa.array(
-                    [shingle_hashes(t or "", self.shingle_k).tobytes() for t in texts],
-                    type=pa.binary(),
-                ),
+                "sh": pa.array(vals, type=pa.binary()),
             }
         )
 

@@ -126,3 +126,32 @@ def test_small_quantity_revenue_regime_equivalence(ray_session):
     want_c = int(_cents(li.loc[keep, "l_extendedprice"].to_numpy()).sum())
     want = np.floor(want_c / 100.0 / 7.0 * 100 + 0.5) / 100
     assert a == want
+
+
+def test_shingle_hash_rows_parity():
+    """Batch unique-first hashing must reproduce the per-doc functions
+    bit-for-bit (same md5_64 values — the DuckDB oracle contract)."""
+    from crawl4ai_ray.functions.textstats import (
+        MinHasher,
+        shingle_hash_rows,
+        shingle_hashes,
+        shingles,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "one",
+        "two words",
+        "the quick brown fox sat on the mat",  # shares shingles with #0
+        "a b c a b c a b c",  # internal repetition
+        "ünïcode tokens ünïcode tokens here",
+    ]
+    base, offs = shingle_hash_rows(texts, 3)
+    h = MinHasher()
+    sigs = h.signatures_from_rows(base, offs)
+    for i, t in enumerate(texts):
+        want = shingle_hashes(t, 3)
+        got = np.sort(base[offs[i] : offs[i + 1]])
+        assert (got == want).all(), i
+        assert (sigs[i] == h.signature(shingles(t, 3))).all(), i
