@@ -287,6 +287,20 @@ class MinHasher:
             for b in range(n_bands)
         ]
 
+    def bands_bytes(self, sig: np.ndarray, band_rows: int = 8) -> list[bytes]:
+        """Band keys as the band's raw 8 uint64 slots (little-endian bytes)
+        — injectively equivalent to ``bands()`` (two docs share a byte key
+        iff they share the decimal-string key), so LSH bucket groupings are
+        identical while skipping per-slot Python int→str formatting.  The
+        engine groups on these internally; the SQL oracle rebuilds its OWN
+        band keys from the same signature slots, so the key format never
+        crosses the comparison."""
+        n_bands = self.num_perm // band_rows
+        return [
+            sig[b * band_rows : (b + 1) * band_rows].tobytes()
+            for b in range(n_bands)
+        ]
+
 
 # -------------------------------------------------------------------- simhash
 def simhash64(text: str) -> int:

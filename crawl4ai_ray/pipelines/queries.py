@@ -4451,6 +4451,97 @@ def small_quantity_revenue(sf_dir: str,
     )
 
 
+def hll_distinct_users(sf_dir: str, m: int = 256):
+    """HyperLogLog distinct-count SKETCH per event_type — the mergeable
+    cardinality sketch a 100-TB pipeline uses where exact distinct would
+    shuffle every key: per-batch register partials (one row per
+    (batch, type, non-empty bucket) crosses the exchange — NEVER the user
+    ids), a (type, bucket)-grain groupby Max merge, then the estimate folds
+    from m=256 registers per type on the driver (type-grain, bounded).
+
+    Everything is DETERMINISTIC and SQL-oracled exactly: base hash =
+    ``md5_64(str(user_id))`` (the repo's shared oracle hash), bucket = low
+    8 bits, rho = 57 − bit_length(remaining 56 bits) (bit_length via exact
+    shift cascade here, ``length(bin(x))`` in SQL — no float log2), and the
+    harmonic sum is EXACT integer arithmetic on both sides
+    (Σ 2^(57−reg) as Python int / HUGEINT) so no float-summation-order
+    hazard exists; the final α·m²·2⁵⁷/S division and the standard
+    linear-counting branch (E ≤ 2.5m with empty registers → m·ln(m/V),
+    libm on both sides) are written operation-for-operation like the SQL.
+    """
+    import math
+
+    from ..functions.numeric import duck_round
+    from ..hashing import md5_64
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def _partials(b: pa.Table) -> pa.Table:
+        et = np.asarray(b.column("event_type").to_pylist(), dtype=object)
+        uid = _np(b, "user_id")
+        uniq, uinv = np.unique(uid, return_inverse=True)  # uids repeat
+        h = np.fromiter(
+            (md5_64(str(int(u))) for u in uniq), dtype=np.uint64, count=len(uniq)
+        )
+        bucket = (h % np.uint64(m)).astype(np.int64)
+        rem = h >> np.uint64(8)
+        # exact vectorized bit_length (no float log2)
+        bl = np.zeros(len(rem), dtype=np.int64)
+        v = rem.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = v >= (np.uint64(1) << np.uint64(shift))
+            bl[big] += shift
+            v[big] >>= np.uint64(shift)
+        bl += (v > 0).astype(np.int64)
+        rho = 57 - bl  # rem == 0 → 57, matching the SQL CASE
+
+        tuniq, tinv = np.unique(et, return_inverse=True)
+        keys = tinv * m + bucket[uinv]
+        kuniq, kinv = np.unique(keys, return_inverse=True)
+        regs = np.zeros(len(kuniq), dtype=np.int64)
+        np.maximum.at(regs, kinv, rho[uinv])
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [tuniq[k // m] for k in kuniq], type=pa.string()
+                ),
+                "bucket": pa.array((kuniq % m).tolist(), type=pa.int64()),
+                "reg": pa.array(regs.tolist(), type=pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "bucket"])
+        .aggregate(Max(on="reg", alias_name="reg"))
+    )
+
+    # fold per type: ≤ m rows per type (type-grain — bounded, driver-safe)
+    regs_by_type: dict[str, dict[int, int]] = {}
+    for r in merged.take_all():
+        regs_by_type.setdefault(r["event_type"], {})[r["bucket"]] = r["reg"]
+
+    alpha = 0.7213 / (1 + 1.079 / 256)
+    out = []
+    for t in sorted(regs_by_type):
+        regs = regs_by_type[t]
+        s_scaled = sum(1 << (57 - regs.get(bk, 0)) for bk in range(m))
+        v_zero = sum(1 for bk in range(m) if regs.get(bk, 0) == 0)
+        e_raw = alpha * 65536.0 * 144115188075855872.0 / float(s_scaled)
+        if e_raw <= 640.0 and v_zero > 0:
+            est = 256 * math.log(256.0 / v_zero)
+        else:
+            est = e_raw
+        out.append(
+            {
+                "event_type": t,
+                "approx_distinct": float(duck_round(est, 4)),
+                "n_zero_registers": v_zero,
+            }
+        )
+    return pa.Table.from_pylist(out)
+
+
 # ORDER MATTERS: the round driver evaluates only the FIRST 50 entries per
 # round, so the window must be 100% oracle-backed (round-3 verdict item
 # #2).  Layout: [1..50] DuckDB-oracled pipelines — every operator family
@@ -4487,7 +4578,7 @@ QUERIES = {
     "token_counts_bpe": token_counts_bpe,
     "quality_scores": quality_scores,
     "part_type_stats": part_type_stats,
-    "fingerprint_md5": fingerprint_md5,
+    "hll_distinct_users": hll_distinct_users,
     "langid_predict": langid_predict,
     "doc_fingerprint_rolling": doc_fingerprint_rolling,
     "simhash_neardup_pairs": simhash_neardup_pairs,
@@ -4530,6 +4621,7 @@ QUERIES = {
     # (all driver-witnessed green in rounds 1-4 or judge-verified at
     # sf0.01; rotated out per round-5 item #6, still fully oracled)
     "docs_hash_sample": docs_hash_sample,
+    "fingerprint_md5": fingerprint_md5,
     "media_catalog": media_catalog,
     "chunks_fixed": chunks_fixed,
     "structured_xpath_roundtrip": structured_xpath_roundtrip,
@@ -5086,6 +5178,60 @@ ORACLE_SQL = {
         FROM lineitem l JOIN t ON l.l_partkey = t.pk
         WHERE l.l_quantity < t.thr
     """,
+    "hll_distinct_users": """
+        WITH h AS (
+            SELECT event_type, {hex64} AS hv
+            FROM (SELECT DISTINCT event_type, user_id FROM events)
+        ),
+        r AS (
+            SELECT event_type,
+                   CAST(hv % 256 AS BIGINT) AS bucket,
+                   CAST(hv // 256 AS BIGINT) AS rem
+            FROM h
+        ),
+        regs AS (
+            SELECT event_type, bucket,
+                   max(CASE WHEN rem = 0 THEN 57
+                            ELSE 57 - length(bin(rem)) END) AS reg
+            FROM r GROUP BY event_type, bucket
+        ),
+        grid AS (
+            SELECT t.event_type, g.range AS bucket
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN range(256) g
+        ),
+        full_regs AS (
+            SELECT g.event_type, g.bucket, COALESCE(regs.reg, 0) AS reg
+            FROM grid g LEFT JOIN regs
+              ON g.event_type = regs.event_type AND g.bucket = regs.bucket
+        ),
+        acc AS (
+            SELECT f.event_type,
+                   sum(p.pw) AS s_scaled,
+                   CAST(sum(CASE WHEN f.reg = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v_zero
+            FROM full_regs f JOIN (VALUES {pow2}) AS p(i, pw)
+              ON p.i = 57 - f.reg
+            GROUP BY f.event_type
+        )
+        SELECT event_type,
+               round(CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 65536.0
+                               * 144115188075855872.0
+                               / CAST(s_scaled AS DOUBLE) <= 640.0
+                               AND v_zero > 0
+                          THEN 256 * ln(256.0 / v_zero)
+                          ELSE (0.7213 / (1 + 1.079 / 256)) * 65536.0
+                               * 144115188075855872.0
+                               / CAST(s_scaled AS DOUBLE)
+                     END, 4) AS approx_distinct,
+               v_zero AS n_zero_registers
+        FROM acc
+    """.format(
+        hex64=_sql_hex64("CAST(user_id AS VARCHAR)"),
+        pow2=", ".join(
+            f"({i}, CAST('{1 << i}' AS HUGEINT))" for i in range(58)
+        ),
+    ),
     "jaccard_neardup_exact": _sql_jaccard_exact(),
     "simhash_docs": _sql_simhash(),
     "simhash_neardup_pairs": _sql_simhash_pairs(),

@@ -91,7 +91,7 @@ class MinHashSignatureStage:
             for di in range(sigs.shape[0]):
                 i = ids[s0 + di]
                 for b_idx, key in enumerate(
-                    self.hasher.bands(sigs[di], self.band_rows)
+                    self.hasher.bands_bytes(sigs[di], self.band_rows)
                 ):
                     out_id.append(i)
                     out_band_idx.append(b_idx)
@@ -100,7 +100,7 @@ class MinHashSignatureStage:
             {
                 "doc_id": pa.array(out_id),
                 "band_idx": pa.array(out_band_idx, type=pa.int32()),
-                "band_key": pa.array(out_band_key, type=pa.string()),
+                "band_key": pa.array(out_band_key, type=pa.binary()),
             }
         )
 
