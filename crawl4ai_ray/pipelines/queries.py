@@ -4542,6 +4542,102 @@ def hll_distinct_users(sf_dir: str, m: int = 256):
     return pa.Table.from_pylist(out)
 
 
+def cms_heavy_hitters(sf_dir: str, threshold: int = 75,
+                      d: int = 4, w: int = 512):
+    """Count-min sketch frequency estimates for heavy users — the second
+    mergeable sketch family (with ``hll_distinct_users``): per-batch
+    (row, bucket) count partials — at most d·w = 2048 rows cross the
+    exchange per batch, never per-key counts — merged by a (row, bucket)
+    groupby Sum into a fixed 2048-cell sketch, then each candidate's
+    estimate = min over the d rows of its bucket cells.
+
+    The candidate set here is the exact heavy set (distributed
+    pre-aggregated count ≥ threshold) so the output demonstrates the CMS
+    guarantee (``cms_cnt ≥ exact_cnt`` always; equality unless the bucket
+    collides) against ground truth; a production pipeline would feed the
+    sketch its candidates from per-shard local top-k instead and skip the
+    exact pass.  Deterministic and SQL-oracled exactly: cell hash =
+    ``md5_64(f"{r}:{user_id}") % w`` (same md5 contract as the other
+    oracled hashes), all counts integer.
+    """
+    from ..hashing import md5_64
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def _cnt_partial(b: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(_np(b, "user_id"), return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq.tolist(), type=pa.int64()),
+                "cnt": pa.array(cnt.tolist(), type=pa.int64()),
+            }
+        )
+
+    def _sketch_partial(b: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(_np(b, "user_id"), return_counts=True)
+        rows, buckets, cells = [], [], []
+        acc: dict[tuple[int, int], int] = {}
+        for r in range(d):
+            for u, c in zip(uniq.tolist(), cnt.tolist()):
+                k = (r, md5_64(f"{r}:{u}") % w)
+                acc[k] = acc.get(k, 0) + int(c)
+        for (r, bk), c in acc.items():
+            rows.append(r)
+            buckets.append(bk)
+            cells.append(c)
+        return pa.table(
+            {
+                "r": pa.array(rows, type=pa.int64()),
+                "bucket": pa.array(buckets, type=pa.int64()),
+                "c": pa.array(cells, type=pa.int64()),
+            }
+        )
+
+    sketch: dict[tuple[int, int], int] = {
+        (row["r"], row["bucket"]): row["c"]
+        for row in (
+            ds.map_batches(
+                _sketch_partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby(["r", "bucket"])
+            .aggregate(Sum(on="c", alias_name="c"))
+            .take_all()  # bounded: ≤ d·w = 2048 cells by construction
+        )
+    }
+
+    heavy = (
+        ds.map_batches(
+            _cnt_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("user_id")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("cnt"), threshold)),
+            batch_format="pyarrow",
+        )
+        .take_all()  # result-sized: the heavy set itself
+    )
+
+    out = [
+        {
+            "user_id": int(rec["user_id"]),
+            "exact_cnt": int(rec["cnt"]),
+            "cms_cnt": min(
+                sketch[(r, md5_64(f"{r}:{int(rec['user_id'])}") % w)]
+                for r in range(d)
+            ),
+        }
+        for rec in heavy
+    ]
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [("user_id", pa.int64()), ("exact_cnt", pa.int64()),
+             ("cms_cnt", pa.int64())]
+        ),
+    )
+
+
 # ORDER MATTERS: the round driver evaluates only the FIRST 50 entries per
 # round, so the window must be 100% oracle-backed (round-3 verdict item
 # #2).  Layout: [1..50] DuckDB-oracled pipelines — every operator family
@@ -4580,7 +4676,7 @@ QUERIES = {
     "part_type_stats": part_type_stats,
     "hll_distinct_users": hll_distinct_users,
     "langid_predict": langid_predict,
-    "doc_fingerprint_rolling": doc_fingerprint_rolling,
+    "cms_heavy_hitters": cms_heavy_hitters,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "minhash_neardup_pairs": minhash_neardup_pairs,
     "neardup_components": neardup_components,
@@ -4622,6 +4718,7 @@ QUERIES = {
     # sf0.01; rotated out per round-5 item #6, still fully oracled)
     "docs_hash_sample": docs_hash_sample,
     "fingerprint_md5": fingerprint_md5,
+    "doc_fingerprint_rolling": doc_fingerprint_rolling,
     "media_catalog": media_catalog,
     "chunks_fixed": chunks_fixed,
     "structured_xpath_roundtrip": structured_xpath_roundtrip,
@@ -5230,6 +5327,39 @@ ORACLE_SQL = {
         hex64=_sql_hex64("CAST(user_id AS VARCHAR)"),
         pow2=", ".join(
             f"({i}, CAST('{1 << i}' AS HUGEINT))" for i in range(58)
+        ),
+    ),
+    "cms_heavy_hitters": """
+        WITH u AS (
+            SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        ),
+        rows_ AS (SELECT CAST(range AS BIGINT) AS r FROM range(4)),
+        cells AS (
+            SELECT r,
+                   CAST({hex64} % 512 AS BIGINT) AS bucket,
+                   cnt
+            FROM u CROSS JOIN rows_
+        ),
+        sk AS (
+            SELECT r, bucket, sum(cnt) AS c FROM cells GROUP BY r, bucket
+        ),
+        cand AS (SELECT user_id, cnt FROM u WHERE cnt >= 75),
+        cb AS (
+            SELECT cand.user_id, cand.cnt, rows_.r,
+                   CAST({hex64c} % 512 AS BIGINT) AS bucket
+            FROM cand CROSS JOIN rows_
+        )
+        SELECT cb.user_id,
+               cb.cnt AS exact_cnt,
+               CAST(min(sk.c) AS BIGINT) AS cms_cnt
+        FROM cb JOIN sk ON sk.r = cb.r AND sk.bucket = cb.bucket
+        GROUP BY cb.user_id, cb.cnt
+    """.format(
+        hex64=_sql_hex64(
+            "CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+        ),
+        hex64c=_sql_hex64(
+            "CAST(rows_.r AS VARCHAR) || ':' || CAST(cand.user_id AS VARCHAR)"
         ),
     ),
     "jaccard_neardup_exact": _sql_jaccard_exact(),

@@ -155,3 +155,72 @@ def test_shingle_hash_rows_parity():
         got = np.sort(base[offs[i] : offs[i + 1]])
         assert (got == want).all(), i
         assert (sigs[i] == h.signature(shingles(t, 3))).all(), i
+
+
+def test_bands_bytes_parity():
+    """bands_bytes must induce EXACTLY the same bucket groupings as the
+    decimal-string bands() — two signatures share a byte key iff they
+    share the string key (injective re-encoding, LSH semantics intact)."""
+    from crawl4ai_ray.functions.textstats import MinHasher
+
+    h = MinHasher()
+    rng = np.random.RandomState(7)
+    sigs = rng.randint(0, 2**63, size=(40, h.num_perm)).astype(np.uint64)
+    sigs[10] = sigs[3]  # exact dup
+    sigs[11, :8] = sigs[3, :8]  # shares band 0 only
+    str_keys = [h.bands(s) for s in sigs]
+    byte_keys = [h.bands_bytes(s) for s in sigs]
+    n_bands = h.num_perm // 8
+    for b in range(n_bands):
+        for i in range(len(sigs)):
+            for j in range(len(sigs)):
+                assert (str_keys[i][b] == str_keys[j][b]) == (
+                    byte_keys[i][b] == byte_keys[j][b]
+                ), (b, i, j)
+
+
+def test_hll_distinct_users_accuracy(ray_session):
+    """The sketch estimate must land within the standard HLL error band
+    (1.04/sqrt(256) ≈ 6.5%; allow 4 sigma) of the exact distinct count,
+    and the register fold must be deterministic across runs."""
+    import duckdb
+
+    from crawl4ai_ray.pipelines.queries import hll_distinct_users
+
+    got = _tbl(hll_distinct_users(SF)).to_pandas().set_index("event_type")
+    exact = (
+        duckdb.query(
+            f"SELECT event_type, count(DISTINCT user_id) AS n "
+            f"FROM '{SF}/events.parquet' GROUP BY event_type"
+        )
+        .to_df()
+        .set_index("event_type")
+    )
+    assert set(got.index) == set(exact.index)
+    for t, row in exact.iterrows():
+        est = got.loc[t, "approx_distinct"]
+        assert abs(est - row["n"]) <= max(0.26 * row["n"], 8.0), (
+            t,
+            est,
+            row["n"],
+        )
+    again = _tbl(hll_distinct_users(SF)).to_pandas().set_index("event_type")
+    assert (got["approx_distinct"] == again["approx_distinct"]).all()
+
+
+def test_cms_heavy_hitters_guarantee(ray_session):
+    """Count-min never under-counts (est ≥ exact for every candidate) and
+    the heavy set matches the exact distributed count at the threshold."""
+    import duckdb
+
+    from crawl4ai_ray.pipelines.queries import cms_heavy_hitters
+
+    got = _tbl(cms_heavy_hitters(SF)).to_pandas()
+    assert (got["cms_cnt"] >= got["exact_cnt"]).all()
+    exact = duckdb.query(
+        f"SELECT user_id, count(*) AS cnt FROM '{SF}/events.parquet' "
+        f"GROUP BY user_id HAVING cnt >= 75"
+    ).to_df()
+    assert set(got["user_id"]) == set(exact["user_id"])
+    merged = got.merge(exact, on="user_id")
+    assert (merged["exact_cnt"] == merged["cnt"]).all()
