@@ -154,6 +154,12 @@ QUERY_NAMES = [
     "revenue_rollup",
     "events_running_sum",
     "customer_order_gaps",
+    # round-5 additions: the two mergeable sketches (fixed-size register /
+    # cell partials across the exchange — the at-scale substitutes for
+    # exact distinct / exact per-key counts)
+    "hll_distinct_users",
+    "cms_heavy_hitters",
+    "large_part_revenue_bloom",
 ]
 
 

@@ -4638,6 +4638,125 @@ def cms_heavy_hitters(sf_dir: str, threshold: int = 75,
     )
 
 
+def large_part_revenue_bloom(sf_dir: str, min_size: int = 48,
+                             bloom_capacity: int = 200_000):
+    """Runtime-filter (bloom-pushdown) join acceleration — revenue of
+    lineitems whose part has ``p_size ≥ min_size``, with the probe side
+    pre-filtered by a distributed bloom of the qualifying part keys (the
+    Spark/Trino runtime-filter pattern; reference precedent: the seen-set
+    bloom of ``deep_crawling/crazy.py``, here as a join primitive).
+
+    Stage 1 — distributed bloom build: each build-side batch adds its
+    qualifying partkeys into a local ``BloomFilter``; identical
+    (capacity, error_rate) params ⇒ identical bit positions ⇒ the
+    per-block bit arrays OR-merge, so ONE fixed-size bytes row per block
+    reaches the driver (a tree-reduce folds even that at extreme block
+    counts) and the merged filter broadcasts once via ``ray.put``.
+    Stage 2 — probe pre-filter inside the lineitem map: bloom negatives
+    are DEFINITE non-matches (no false negatives), so they drop before
+    the exchange; survivors pre-aggregate to per-(batch, partkey) cents
+    partials.  Stage 3 — exact verification: partials union the
+    qualifying part keys (tagged), one groupby(partkey) all-to-all; a
+    group with no build row is a bloom false positive and dies here, so
+    the OUTPUT equals the SQL inner-join aggregate exactly regardless of
+    the bloom's error rate (the bloom only sizes the shuffle, never the
+    answer)."""
+    from ..functions.numeric import cents
+    from ..state.bloom import BloomFilter
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_size"])
+    qual = part.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("p_size"), min_size)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _bloom_row(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity=bloom_capacity, error_rate=0.01)
+        bf.add_batch([str(k) for k in b.column("p_partkey").to_pylist()])
+        return pa.table({"bits": pa.array([bf.to_bytes()], type=pa.binary())})
+
+    merged_bits = None
+    for row in (
+        qual.map_batches(_bloom_row, batch_format="pyarrow").take_all()
+    ):  # bounded: ONE fixed-size row per build-side block
+        a = np.frombuffer(row["bits"], dtype=np.uint64)
+        merged_bits = a.copy() if merged_bits is None else (merged_bits | a)
+    bloom = BloomFilter(capacity=bloom_capacity, error_rate=0.01)
+    if merged_bits is not None:
+        bloom._bits = merged_bits
+    bloom_ref = ray.put(bloom)
+
+    def _probe_partial(b: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        keys = _np(b, "l_partkey")
+        keep = bf.contains_batch([str(k) for k in keys.tolist()])
+        keys = keys[keep]
+        rev_c = cents(_np(b, "l_extendedprice")[keep])
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq.tolist(), type=pa.int64()),
+                "n": pa.array(
+                    np.bincount(inv, minlength=len(uniq)).tolist(),
+                    type=pa.int64(),
+                ),
+                "rev_c": pa.array(
+                    np.bincount(inv, weights=rev_c, minlength=len(uniq))
+                    .astype(np.int64)
+                    .tolist(),
+                    type=pa.int64(),
+                ),
+                "is_build": pa.array(np.zeros(len(uniq), dtype=bool)),
+            }
+        )
+
+    def _build_rows(b: pa.Table) -> pa.Table:
+        ks = pc.cast(b.column("p_partkey"), pa.int64())
+        n = len(ks)
+        return pa.table(
+            {
+                "key": ks,
+                "n": pa.array(np.zeros(n, dtype=np.int64)),
+                "rev_c": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_build": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+    u = li.map_batches(
+        _probe_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        qual.map_batches(_build_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def _verify(g: pa.Table) -> pa.Table:
+        is_build = g.column("is_build").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "l_partkey": pa.array([], type=pa.int64()),
+                "n_items": pa.array([], type=pa.int64()),
+                "revenue": pa.array([], type=pa.float64()),
+            }
+        )
+        if not is_build.any():  # bloom false positive — exactness restored
+            return empty
+        n = int(_np(g, "n").sum())
+        if n == 0:  # qualifying part with no lineitems (inner join drops)
+            return empty
+        return pa.table(
+            {
+                "l_partkey": g.column("key").slice(0, 1),
+                "n_items": pa.array([n], type=pa.int64()),
+                "revenue": pa.array(
+                    [int(_np(g, "rev_c").sum()) / 100.0], type=pa.float64()
+                ),
+            }
+        )
+
+    return u.groupby("key").map_groups(_verify, batch_format="pyarrow")
+
+
 # ORDER MATTERS: the round driver evaluates only the FIRST 50 entries per
 # round, so the window must be 100% oracle-backed (round-3 verdict item
 # #2).  Layout: [1..50] DuckDB-oracled pipelines — every operator family
@@ -4675,7 +4794,7 @@ QUERIES = {
     "quality_scores": quality_scores,
     "part_type_stats": part_type_stats,
     "hll_distinct_users": hll_distinct_users,
-    "langid_predict": langid_predict,
+    "large_part_revenue_bloom": large_part_revenue_bloom,
     "cms_heavy_hitters": cms_heavy_hitters,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "minhash_neardup_pairs": minhash_neardup_pairs,
@@ -4719,6 +4838,7 @@ QUERIES = {
     "docs_hash_sample": docs_hash_sample,
     "fingerprint_md5": fingerprint_md5,
     "doc_fingerprint_rolling": doc_fingerprint_rolling,
+    "langid_predict": langid_predict,
     "media_catalog": media_catalog,
     "chunks_fixed": chunks_fixed,
     "structured_xpath_roundtrip": structured_xpath_roundtrip,
@@ -5329,6 +5449,15 @@ ORACLE_SQL = {
             f"({i}, CAST('{1 << i}' AS HUGEINT))" for i in range(58)
         ),
     ),
+    "large_part_revenue_bloom": """
+        SELECT l.l_partkey,
+               count(*) AS n_items,
+               sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                   / 100.0 AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size >= 48
+        GROUP BY l.l_partkey
+    """,
     "cms_heavy_hitters": """
         WITH u AS (
             SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id

@@ -224,3 +224,39 @@ def test_cms_heavy_hitters_guarantee(ray_session):
     assert set(got["user_id"]) == set(exact["user_id"])
     merged = got.merge(exact, on="user_id")
     assert (merged["exact_cnt"] == merged["cnt"]).all()
+
+
+def test_bloom_semi_join_exact_under_false_positives(ray_session):
+    """Shrinking the bloom to its 64-bit floor floods the probe with false
+    positives — the exact verify stage must still produce the identical
+    inner-join aggregate (the bloom sizes the shuffle, never the answer)."""
+    import duckdb
+
+    from crawl4ai_ray.pipelines.queries import large_part_revenue_bloom
+
+    tiny = (
+        _tbl(large_part_revenue_bloom(SF, bloom_capacity=1))
+        .to_pandas()
+        .sort_values("l_partkey")
+        .reset_index(drop=True)
+    )
+    normal = (
+        _tbl(large_part_revenue_bloom(SF))
+        .to_pandas()
+        .sort_values("l_partkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(tiny, normal)
+    exact = (
+        duckdb.query(
+            f"""SELECT l.l_partkey, count(*) AS n_items
+                FROM '{SF}/lineitem.parquet' l
+                JOIN '{SF}/part.parquet' p ON p.p_partkey = l.l_partkey
+                WHERE p.p_size >= 48 GROUP BY l.l_partkey
+                ORDER BY l.l_partkey"""
+        )
+        .to_df()
+        .reset_index(drop=True)
+    )
+    assert (normal["l_partkey"].to_numpy() == exact["l_partkey"].to_numpy()).all()
+    assert (normal["n_items"].to_numpy() == exact["n_items"].to_numpy()).all()
