@@ -160,6 +160,7 @@ QUERY_NAMES = [
     "hll_distinct_users",
     "cms_heavy_hitters",
     "large_part_revenue_bloom",
+    "events_value_quantile_hist",
 ]
 
 

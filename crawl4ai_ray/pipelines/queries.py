@@ -4757,6 +4757,109 @@ def large_part_revenue_bloom(sf_dir: str, min_size: int = 48,
     return u.groupby("key").map_groups(_verify, batch_format="pyarrow")
 
 
+def events_value_quantile_hist(sf_dir: str, nbins: int = 256,
+                               qs: tuple = (0.5, 0.9, 0.99)):
+    """Histogram quantile SKETCH per event_type — the third mergeable
+    sketch family (with the HLL and count-min entries): approximate
+    quantiles from fixed-width bin counts, where only (type, bin, count)
+    rows ever cross the exchange (≤ nbins per type per batch), unlike the
+    exact-percentile query whose groups carry every value.  Pass 1 is a
+    type-grain min/max/count aggregate (bounded); pass 2 bins each batch
+    against the broadcast ranges and pre-aggregates counts; the driver
+    folds ≤ types·nbins rows — cumulative-count walk + linear
+    interpolation inside the target bin.
+
+    Deterministic and SQL-oracled exactly: bin = ``min(floor((v − mn) /
+    ((mx − mn) / nbins)), nbins−1)`` and estimate = ``mn + w · (bin +
+    (q·n − cum_before) / c)`` written with the SAME IEEE-double expression
+    trees on both sides (bin counts are exact ints, so no
+    summation-order hazard), rounded to 4 dp on both sides."""
+    from ..functions.numeric import duck_round
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    stats = {
+        r["event_type"]: (r["mn"], r["mx"], r["n"])
+        for r in (
+            ds.groupby("event_type")
+            .aggregate(
+                Min(on="value", alias_name="mn"),
+                Max(on="value", alias_name="mx"),
+                Count(alias_name="n"),
+            )
+            .take_all()  # bounded: type-grain
+        )
+    }
+    stats_ref = ray.put(stats)
+
+    def _bin_partial(b: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        et = np.asarray(b.column("event_type").to_pylist(), dtype=object)
+        val = _np(b, "value")
+        tuniq, tinv = np.unique(et, return_inverse=True)
+        mn = np.array([st[t][0] for t in tuniq])[tinv]
+        mx = np.array([st[t][1] for t in tuniq])[tinv]
+        w = (mx - mn) / nbins
+        with np.errstate(invalid="ignore", divide="ignore"):
+            raw = np.floor((val - mn) / w)
+        bins = np.where(
+            w > 0, np.minimum(raw, nbins - 1), 0.0
+        ).astype(np.int64)
+        keys = tinv * nbins + bins
+        kuniq, kcnt = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [tuniq[k // nbins] for k in kuniq], type=pa.string()
+                ),
+                "bin": pa.array((kuniq % nbins).tolist(), type=pa.int64()),
+                "c": pa.array(kcnt.tolist(), type=pa.int64()),
+            }
+        )
+
+    hist: dict[str, dict[int, int]] = {}
+    for r in (
+        ds.map_batches(_bin_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum(on="c", alias_name="c"))
+        .take_all()  # bounded: ≤ types · nbins rows
+    ):
+        hist.setdefault(r["event_type"], {})[r["bin"]] = r["c"]
+
+    out = []
+    for t in sorted(hist):
+        mn, mx, n = stats[t]
+        w = (mx - mn) / nbins
+        cum = 0
+        items = sorted(hist[t].items())
+        for q in qs:
+            target = q * n
+            cum = 0
+            est = mx
+            for bn, c in items:
+                if cum + c >= target:
+                    if w > 0:
+                        est = mn + w * (bn + (target - cum) / c)
+                    else:
+                        est = mn
+                    break
+                cum += c
+            out.append(
+                {
+                    "event_type": t,
+                    "q": float(q),
+                    "quantile_est": float(duck_round(est, 4)),
+                }
+            )
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [("event_type", pa.string()), ("q", pa.float64()),
+             ("quantile_est", pa.float64())]
+        ),
+    )
+
+
 # ORDER MATTERS: the round driver evaluates only the FIRST 50 entries per
 # round, so the window must be 100% oracle-backed (round-3 verdict item
 # #2).  Layout: [1..50] DuckDB-oracled pipelines — every operator family
@@ -4804,7 +4907,7 @@ QUERIES = {
     "customers_with_old_orders": customers_with_old_orders,
     "customer_order_ranks": customer_order_ranks,
     "small_quantity_revenue": small_quantity_revenue,
-    "repetition_scores": repetition_scores,
+    "events_value_quantile_hist": events_value_quantile_hist,
     "decontaminate_docs": decontaminate_docs,
     "vocab_topk": vocab_topk,
     "unigram_logprob_scores": unigram_logprob_scores,
@@ -4839,6 +4942,7 @@ QUERIES = {
     "fingerprint_md5": fingerprint_md5,
     "doc_fingerprint_rolling": doc_fingerprint_rolling,
     "langid_predict": langid_predict,
+    "repetition_scores": repetition_scores,
     "media_catalog": media_catalog,
     "chunks_fixed": chunks_fixed,
     "structured_xpath_roundtrip": structured_xpath_roundtrip,
@@ -5449,6 +5553,54 @@ ORACLE_SQL = {
             f"({i}, CAST('{1 << i}' AS HUGEINT))" for i in range(58)
         ),
     ),
+    "events_value_quantile_hist": """
+        WITH s AS (
+            SELECT event_type, min(value) AS mn, max(value) AS mx,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        ),
+        b AS (
+            SELECT e.event_type,
+                   CASE WHEN (s.mx - s.mn) / 256.0 > 0
+                        THEN CAST(least(floor((e.value - s.mn)
+                                 / ((s.mx - s.mn) / 256.0)), 255.0) AS BIGINT)
+                        ELSE 0 END AS bin
+            FROM events e JOIN s USING (event_type)
+        ),
+        h AS (
+            SELECT event_type, bin, count(*) AS c
+            FROM b GROUP BY event_type, bin
+        ),
+        cum AS (
+            SELECT event_type, bin, c,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) - c AS cum_before
+            FROM h
+        ),
+        qs AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)),
+                                     (CAST(0.9 AS DOUBLE)),
+                                     (CAST(0.99 AS DOUBLE))) AS q(q)),
+        tgt AS (
+            SELECT s.event_type, qs.q, qs.q * s.n AS target,
+                   s.mn, (s.mx - s.mn) / 256.0 AS w
+            FROM s CROSS JOIN qs
+        ),
+        pick AS (
+            SELECT t.event_type, t.q, min(c.bin) AS bin
+            FROM tgt t JOIN cum c
+              ON c.event_type = t.event_type
+             AND c.cum_before + c.c >= t.target
+            GROUP BY t.event_type, t.q
+        )
+        SELECT p.event_type, p.q,
+               round(CASE WHEN t.w > 0
+                          THEN t.mn + t.w * (p.bin
+                               + (t.target - c.cum_before) / c.c)
+                          ELSE t.mn END, 4) AS quantile_est
+        FROM pick p
+        JOIN tgt t ON t.event_type = p.event_type AND t.q = p.q
+        JOIN cum c ON c.event_type = p.event_type AND c.bin = p.bin
+    """,
     "large_part_revenue_bloom": """
         SELECT l.l_partkey,
                count(*) AS n_items,

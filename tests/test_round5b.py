@@ -260,3 +260,31 @@ def test_bloom_semi_join_exact_under_false_positives(ray_session):
     )
     assert (normal["l_partkey"].to_numpy() == exact["l_partkey"].to_numpy()).all()
     assert (normal["n_items"].to_numpy() == exact["n_items"].to_numpy()).all()
+
+
+def test_quantile_hist_rank_bracket(ray_session):
+    """Histogram quantiles guarantee RANK resolution, not value distance
+    (a sparse tail bin can sit far from the exact quantile in value):
+    the estimate lies inside its picked bin, so the empirical CDF one bin
+    width either side of it must bracket the target rank q·n."""
+    import duckdb
+
+    from crawl4ai_ray.pipelines.queries import events_value_quantile_hist
+
+    got = _tbl(events_value_quantile_hist(SF)).to_pandas()
+    vals = duckdb.query(
+        f"SELECT event_type, value FROM '{SF}/events.parquet'"
+    ).to_df()
+    for _, row in got.iterrows():
+        v = vals.loc[
+            vals["event_type"] == row["event_type"], "value"
+        ].to_numpy()
+        w = (v.max() - v.min()) / 256.0
+        target = row["q"] * len(v)
+        est = row["quantile_est"]
+        assert (v <= est + w + 1e-9).sum() >= target - 1e-6, (
+            row["event_type"], row["q"],
+        )
+        assert (v < est - w - 1e-9).sum() < target + 1e-6, (
+            row["event_type"], row["q"],
+        )
